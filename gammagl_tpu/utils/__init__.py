@@ -1,0 +1,46 @@
+"""Graph utilities (reference: gammagl/utils/__init__.py:25-58)."""
+
+from gammagl_tpu.utils.degree import degree
+from gammagl_tpu.utils.loop import (add_self_loops, remove_self_loops,
+                                    contains_self_loops)
+from gammagl_tpu.utils.norm import calc_gcn_norm
+from gammagl_tpu.utils.mask import mask_to_index, index_to_mask
+from gammagl_tpu.utils.coalesce import coalesce, sort_edge_index
+from gammagl_tpu.utils.undirected import to_undirected, is_undirected
+from gammagl_tpu.utils.subgraph import subgraph, k_hop_subgraph
+from gammagl_tpu.utils.to_dense import to_dense_adj, to_dense_batch
+from gammagl_tpu.utils.negative_sampling import (
+    negative_sampling, batched_negative_sampling,
+    structured_negative_sampling)
+from gammagl_tpu.utils.misc import (homophily, get_laplacian,
+                                    to_scipy_sparse_matrix,
+                                    from_scipy_sparse_matrix,
+                                    get_train_val_test_split)
+from gammagl_tpu.ops.softmax import segment_softmax
+
+__all__ = [
+    "degree",
+    "add_self_loops",
+    "remove_self_loops",
+    "contains_self_loops",
+    "calc_gcn_norm",
+    "mask_to_index",
+    "index_to_mask",
+    "coalesce",
+    "sort_edge_index",
+    "to_undirected",
+    "is_undirected",
+    "subgraph",
+    "k_hop_subgraph",
+    "to_dense_adj",
+    "to_dense_batch",
+    "negative_sampling",
+    "batched_negative_sampling",
+    "structured_negative_sampling",
+    "homophily",
+    "get_laplacian",
+    "to_scipy_sparse_matrix",
+    "from_scipy_sparse_matrix",
+    "get_train_val_test_split",
+    "segment_softmax",
+]

@@ -1,0 +1,65 @@
+"""Pallas CSR segment-matmul vs XLA scatter reference (interpret mode on CPU).
+
+On real TPU hardware the same kernels run compiled; the driver's bench does
+that. Shapes here are tiny to keep interpret mode fast.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gammagl_tpu.ops import spmm
+from gammagl_tpu.ops.pallas import build_csr_plan, spmm_csr, segment_sum_csr
+
+
+def _case(seed, n, e, f):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    w = rng.normal(size=e).astype(np.float32)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    return src, dst, w, x
+
+
+INTERP = jax.default_backend() != "tpu"
+
+
+def test_plan_shapes():
+    src, dst, w, x = _case(0, 40, 150, 8)
+    plan = build_csr_plan(src, dst, 40, R=8, ET=16)
+    assert plan.E_pad % plan.ET == 0
+    assert plan.T == plan.E_pad // plan.ET
+    assert plan.tile_first.sum() == plan.nblocks
+    # every real edge appears exactly once in perm
+    real = plan.perm[plan.perm < 150]
+    assert sorted(real.tolist()) == list(range(150))
+
+
+def test_spmm_csr_matches_xla():
+    src, dst, w, x = _case(1, 24, 100, 8)
+    plan = build_csr_plan(src, dst, 24, R=8, ET=16)
+    ref = spmm(jnp.asarray(np.stack([src, dst])), jnp.asarray(w),
+               jnp.asarray(x))
+    out = spmm_csr(jnp.asarray(x), jnp.asarray(w), plan, interpret=INTERP)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_spmm_csr_unweighted_and_grad():
+    src, dst, w, x = _case(2, 16, 60, 8)
+    plan = build_csr_plan(src, dst, 16, R=8, ET=16)
+    ei = jnp.asarray(np.stack([src, dst]))
+
+    ref = spmm(ei, None, jnp.asarray(x))
+    out = spmm_csr(jnp.asarray(x), None, plan, interpret=INTERP)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
+
+    g_ref = jax.grad(lambda x: (spmm(ei, jnp.asarray(w), x) ** 2).sum())(
+        jnp.asarray(x))
+    g_out = jax.grad(
+        lambda x: (spmm_csr(x, jnp.asarray(w), plan,
+                            interpret=INTERP) ** 2).sum())(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-3)
