@@ -1,0 +1,27 @@
+"""Conv zoo (reference: gammagl/layers/conv/__init__.py:40-80)."""
+
+from gammagl_tpu.layers.conv.message_passing import MessagePassing
+from gammagl_tpu.layers.conv.gcn_conv import GCNConv
+from gammagl_tpu.layers.conv.gat_conv import GATConv, GATV2Conv
+from gammagl_tpu.layers.conv.sage_conv import SAGEConv
+from gammagl_tpu.layers.conv.simple_convs import (
+    SGConv, GINConv, APPNPConv, GCNIIConv, ChebConv, AGNNConv, FAGCNConv,
+    GPRConv, MixHopConv, JumpingKnowledge)
+
+__all__ = [
+    "MessagePassing",
+    "GCNConv",
+    "GATConv",
+    "GATV2Conv",
+    "SAGEConv",
+    "SGConv",
+    "GINConv",
+    "APPNPConv",
+    "GCNIIConv",
+    "ChebConv",
+    "AGNNConv",
+    "FAGCNConv",
+    "GPRConv",
+    "MixHopConv",
+    "JumpingKnowledge",
+]

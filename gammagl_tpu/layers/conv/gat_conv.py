@@ -1,0 +1,105 @@
+"""GATConv / GATV2Conv (Velickovic 2018; Brody 2022).
+
+Reference semantics: gammagl/layers/conv/gat_conv.py:7 (edge scores =
+a . [Wx_i || Wx_j], LeakyReLU, per-destination segment softmax, multi-head
+weighted aggregate = bspmm) and gatv2_conv.py (score applies `a` after the
+nonlinearity over summed endpoint features).
+"""
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from gammagl_tpu.layers.conv.message_passing import MessagePassing
+from gammagl_tpu.ops import bspmm, segment_softmax
+
+__all__ = ["GATConv", "GATV2Conv"]
+
+
+class GATConv(MessagePassing):
+    out_channels: int
+    heads: int = 1
+    concat: bool = True
+    negative_slope: float = 0.2
+    dropout_rate: float = 0.0
+    add_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, edge_index, num_nodes=None, train=False):
+        H, F = self.heads, self.out_channels
+        if num_nodes is None:
+            num_nodes = x.shape[0]
+        w = self.param("w", nn.initializers.truncated_normal(0.02),
+                       (x.shape[-1], H * F))
+        x = (x @ w).reshape(-1, H, F)
+        src, dst = edge_index[0], edge_index[1]
+        att = self.param("att", nn.initializers.truncated_normal(0.02),
+                         (1, H, 2 * F))
+        feat = jnp.concatenate(
+            [jnp.take(x, src, axis=0, mode="clip"),
+             jnp.take(x, dst, axis=0, mode="clip")], axis=-1)
+        e = jnp.sum(feat * att, axis=-1)  # (E, H)
+        e = nn.leaky_relu(e, self.negative_slope)
+        alpha = segment_softmax(e, dst, num_nodes)
+        if self.dropout_rate > 0:
+            alpha = nn.Dropout(self.dropout_rate, deterministic=not train)(
+                alpha)
+        out = bspmm(edge_index, alpha, x, num_nodes=num_nodes)
+        if self.concat:
+            out = out.reshape(-1, H * F)
+        else:
+            out = out.mean(axis=1)
+        if self.add_bias:
+            bias = self.param("bias",
+                              nn.initializers.truncated_normal(0.02),
+                              (H * F,) if self.concat else (F,))
+            out = out + bias
+        return out
+
+
+class GATV2Conv(MessagePassing):
+    """'How Attentive are GATs?' -- score = a . LeakyReLU(W_l x_i + W_r x_j).
+
+    Reference: gammagl/layers/conv/gatv2_conv.py.
+    """
+
+    out_channels: int
+    heads: int = 1
+    concat: bool = True
+    negative_slope: float = 0.2
+    dropout_rate: float = 0.0
+    add_bias: bool = True
+    share_weights: bool = False
+
+    @nn.compact
+    def __call__(self, x, edge_index, num_nodes=None, train=False):
+        H, F = self.heads, self.out_channels
+        if num_nodes is None:
+            num_nodes = x.shape[0]
+        lin_l = nn.Dense(H * F, use_bias=False,
+                         kernel_init=nn.initializers.glorot_uniform())
+        lin_r = lin_l if self.share_weights else nn.Dense(
+            H * F, use_bias=False,
+            kernel_init=nn.initializers.glorot_uniform())
+        src, dst = edge_index[0], edge_index[1]
+        x_l = lin_l(x).reshape(-1, H, F)
+        x_r = lin_r(x).reshape(-1, H, F)
+        feat = (jnp.take(x_l, src, axis=0, mode="clip")
+                + jnp.take(x_r, dst, axis=0, mode="clip"))
+        feat = nn.leaky_relu(feat, self.negative_slope)
+        att = self.param("att", nn.initializers.truncated_normal(0.02),
+                         (1, H, F))
+        e = jnp.sum(feat * att, axis=-1)
+        alpha = segment_softmax(e, dst, num_nodes)
+        if self.dropout_rate > 0:
+            alpha = nn.Dropout(self.dropout_rate, deterministic=not train)(
+                alpha)
+        out = bspmm(edge_index, alpha, x_l, num_nodes=num_nodes)
+        if self.concat:
+            out = out.reshape(-1, H * F)
+        else:
+            out = out.mean(axis=1)
+        if self.add_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (H * F,) if self.concat else (F,))
+            out = out + bias
+        return out
