@@ -1,0 +1,77 @@
+"""Benchmark: SpMM edges/s per chip on an ogbn-arxiv-scale synthetic graph.
+
+Protocol mirrors the reference kernel bench
+(reference profiler/mpops/complete_test/README.md: ogbn-arxiv 169,343 nodes /
+2,315,598 edges, feature dims {16,64,256}, repeated iterations). The headline
+metric is the Pallas CSR segment-matmul SpMM (f32); `vs_baseline` compares
+against the XLA scatter-add SpMM on the same chip at the same dtype (the path
+any non-kernel JAX implementation would use -- parity with the reference's
+"library vs native kernel" comparison axis).
+
+Timing cycles over distinct input buffers: this environment caches identical
+remote executions, so repeating one input under-reports.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _timeit(fn, args_cycle, iters=12, warmup=3):
+    k = len(args_cycle)
+    for i in range(warmup):
+        out = fn(*args_cycle[i % k])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(*args_cycle[i % k])
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_spmm(dtype=jnp.float32, F=256):
+    from gammagl_tpu.ops import spmm
+    from gammagl_tpu.ops.pallas import build_csr_plan, spmm_csr
+
+    N, E = 169_343, 2_315_598
+    rng = np.random.default_rng(0)
+    dst = (N * (rng.random(E) ** 1.5)).astype(np.int64)
+    src = rng.integers(0, N, E)
+    w = rng.random(E).astype(np.float32)
+
+    ei = jnp.asarray(np.stack([src, dst]).astype(np.int32))
+    wj = jnp.asarray(w, dtype)
+    xs = [jnp.asarray(rng.normal(size=(N, F)), dtype) for _ in range(3)]
+
+    xla_fn = jax.jit(lambda x, w: spmm(ei, w, x, num_nodes=N))
+    t_xla = _timeit(xla_fn, [(x, wj) for x in xs])
+
+    plan = build_csr_plan(src, dst, N)
+    pallas_fn = jax.jit(lambda x, w: spmm_csr(x, w, plan))
+    t_pallas = _timeit(pallas_fn, [(x, wj) for x in xs])
+
+    err = float(jnp.abs(
+        (pallas_fn(xs[0], wj) - xla_fn(xs[0], wj)).astype(jnp.float32)
+    ).max())
+    tol = 1e-2 if dtype == jnp.float32 else 1.0
+    assert err < tol, f"pallas/xla mismatch {err}"
+    return E / t_pallas, t_xla / t_pallas
+
+
+def main():
+    edges_per_s, ratio = bench_spmm(jnp.float32)
+    print(json.dumps({
+        "metric": "spmm_edges_per_s",
+        "value": round(edges_per_s),
+        "unit": "edges/s",
+        "vs_baseline": round(ratio, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

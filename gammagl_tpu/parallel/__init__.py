@@ -1,0 +1,26 @@
+"""Multi-chip execution: meshes, graph partitioning, sharded kernels.
+
+Net-new relative to the reference (it has no distributed training,
+SURVEY.md section 2.10). All scale-out is expressed through
+`jax.sharding.Mesh` + `shard_map` with XLA collectives over ICI/DCN.
+"""
+
+from gammagl_tpu.parallel.mesh import (make_mesh, replicate, shard,
+                                       PartitionSpec, NamedSharding)
+from gammagl_tpu.parallel.partition import (EdgePartition,
+                                            partition_edges_by_dst,
+                                            partition_edges_uniform)
+from gammagl_tpu.parallel.spmm import sharded_spmm, make_sharded_spmm
+
+__all__ = [
+    "make_mesh",
+    "replicate",
+    "shard",
+    "PartitionSpec",
+    "NamedSharding",
+    "EdgePartition",
+    "partition_edges_by_dst",
+    "partition_edges_uniform",
+    "sharded_spmm",
+    "make_sharded_spmm",
+]
