@@ -7,6 +7,9 @@ from gammagl_tpu.layers.conv.sage_conv import SAGEConv
 from gammagl_tpu.layers.conv.simple_convs import (
     SGConv, GINConv, APPNPConv, GCNIIConv, ChebConv, AGNNConv, FAGCNConv,
     GPRConv, MixHopConv, JumpingKnowledge)
+from gammagl_tpu.layers.conv.rgcn_conv import RGCNConv
+from gammagl_tpu.layers.conv.hetero_conv import (HeteroConv, HANConv,
+                                                 HGTConv, SimpleHGNConv)
 
 __all__ = [
     "MessagePassing",
@@ -24,4 +27,9 @@ __all__ = [
     "GPRConv",
     "MixHopConv",
     "JumpingKnowledge",
+    "RGCNConv",
+    "HeteroConv",
+    "HANConv",
+    "HGTConv",
+    "SimpleHGNConv",
 ]

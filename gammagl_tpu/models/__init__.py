@@ -7,6 +7,8 @@ from gammagl_tpu.models.graphsage import (GraphSAGEModel,
 from gammagl_tpu.models.simple_models import (
     SGCModel, GINModel, APPNPModel, GCNIIModel, JKNet, MLP, ChebNetModel,
     MixHopModel, GPRGNNModel, FAGCNModel)
+from gammagl_tpu.models.hetero import (RGCNModel, HANModel, HGTModel,
+                                       SimpleHGNModel)
 
 __all__ = [
     "GCNModel",
@@ -24,4 +26,8 @@ __all__ = [
     "MixHopModel",
     "GPRGNNModel",
     "FAGCNModel",
+    "RGCNModel",
+    "HANModel",
+    "HGTModel",
+    "SimpleHGNModel",
 ]
