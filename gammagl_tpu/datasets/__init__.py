@@ -1,0 +1,31 @@
+"""Dataset zoo (reference: gammagl/datasets/__init__.py -- 32 exports)."""
+
+from gammagl_tpu.datasets.planetoid import Planetoid
+from gammagl_tpu.datasets.npz_datasets import (Amazon, Coauthor,
+                                               FacebookPagePage,
+                                               DeezerEurope, GitHub)
+from gammagl_tpu.datasets.tu_dataset import TUDataset
+from gammagl_tpu.datasets.reddit import Reddit
+from gammagl_tpu.datasets.ppi import PPI
+from gammagl_tpu.datasets.wikics import WikiCS
+from gammagl_tpu.datasets.geom_gcn import WebKB, WikipediaNetwork, Actor
+from gammagl_tpu.datasets.synthetic import (StochasticBlockModelDataset,
+                                            synthetic_community_graph)
+
+__all__ = [
+    "Planetoid",
+    "Amazon",
+    "Coauthor",
+    "FacebookPagePage",
+    "DeezerEurope",
+    "GitHub",
+    "TUDataset",
+    "Reddit",
+    "PPI",
+    "WikiCS",
+    "WebKB",
+    "WikipediaNetwork",
+    "Actor",
+    "StochasticBlockModelDataset",
+    "synthetic_community_graph",
+]

@@ -1,0 +1,14 @@
+from gammagl_tpu.train.state import (TrainState, save_checkpoint,
+                                     load_checkpoint)
+from gammagl_tpu.train.metrics import (accuracy, micro_f1, macro_f1,
+                                       semi_supervised_loss)
+
+__all__ = [
+    "TrainState",
+    "save_checkpoint",
+    "load_checkpoint",
+    "accuracy",
+    "micro_f1",
+    "macro_f1",
+    "semi_supervised_loss",
+]

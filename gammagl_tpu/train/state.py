@@ -1,0 +1,58 @@
+"""Train state + full checkpointing.
+
+The reference checkpoints weights only (`net.save_weights(...npz_dict)`,
+examples/gcn/gcn_trainer.py:110-113 -- no optimizer state, no step).
+This supersedes it (SURVEY.md section 5): params + optimizer state + step
+serialized together, so training resumes exactly.
+"""
+
+from typing import Any
+
+import flax
+import flax.struct
+import jax
+import optax
+
+__all__ = ["TrainState", "save_checkpoint", "load_checkpoint"]
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: int
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(step=0, params=params, opt_state=tx.init(params), tx=tx)
+
+    def apply_gradients(self, grads):
+        updates, opt_state = self.tx.update(grads, self.opt_state,
+                                            self.params)
+        params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=params,
+                            opt_state=opt_state)
+
+
+def save_checkpoint(path, state: TrainState):
+    """Serialize step + params + optimizer state to one msgpack file."""
+    payload = {"step": state.step, "params": state.params,
+               "opt_state": state.opt_state}
+    payload = flax.serialization.to_state_dict(
+        jax.tree_util.tree_map(lambda x: jax.device_get(x), payload))
+    data = flax.serialization.msgpack_serialize(payload)
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def load_checkpoint(path, state: TrainState) -> TrainState:
+    """Restore into an existing state (template provides structure/tx)."""
+    with open(path, "rb") as f:
+        raw = flax.serialization.msgpack_restore(f.read())
+    template = {"step": state.step, "params": state.params,
+                "opt_state": state.opt_state}
+    restored = flax.serialization.from_state_dict(template, raw)
+    return state.replace(step=int(restored["step"]),
+                         params=restored["params"],
+                         opt_state=restored["opt_state"])
