@@ -1,0 +1,158 @@
+"""Native sampling core: lazy g++ build + ctypes bindings.
+
+Plays the role of the reference's compiled `_sparse` extension
+(gammagl/ops/sparse/cpu/sparse_module.cpp:8-19) but binds via ctypes (the
+image has no pybind11). The shared object is built once per machine into
+the package directory and cached; every entry point has a numpy fallback in
+`gammagl_tpu.sampler`, so a missing compiler only costs speed.
+"""
+
+import ctypes
+import os
+import os.path as osp
+import subprocess
+import threading
+
+import numpy as np
+
+__all__ = ["get_lib", "available", "neighbor_sample_c", "random_walk_c",
+           "saint_subgraph_c", "ind2ptr_c", "ptr2ind_c"]
+
+_HERE = osp.dirname(osp.abspath(__file__))
+_SRC = osp.join(_HERE, "sampler.cpp")
+_LIB_PATH = osp.join(_HERE, "_sampler.so")
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+_I64 = ctypes.POINTER(ctypes.c_int64)
+
+
+def _build():
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o",
+           _LIB_PATH, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _declare(lib):
+    lib.ind2ptr.argtypes = [_I64, ctypes.c_int64, ctypes.c_int64, _I64]
+    lib.ptr2ind.argtypes = [_I64, ctypes.c_int64, _I64]
+    lib.neighbor_sample.restype = ctypes.c_int
+    lib.neighbor_sample.argtypes = [
+        _I64, _I64, _I64, _I64, ctypes.c_int64, _I64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_uint64, ctypes.c_int64, ctypes.c_int64,
+        _I64, _I64, _I64, _I64, _I64, _I64, _I64, _I64]
+    lib.random_walk.argtypes = [_I64, _I64, _I64, ctypes.c_int64,
+                                ctypes.c_int64, ctypes.c_uint64, _I64]
+    lib.saint_subgraph.restype = ctypes.c_int64
+    lib.saint_subgraph.argtypes = [_I64, _I64, _I64, _I64, ctypes.c_int64,
+                                   _I64, _I64, _I64, ctypes.c_int64]
+
+
+def get_lib():
+    """Build (once) and return the ctypes library, or None if unavailable."""
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        try:
+            if not osp.exists(_LIB_PATH) or (
+                    os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+                _build()
+            lib = ctypes.CDLL(_LIB_PATH)
+            _declare(lib)
+            _lib = lib
+        except Exception:
+            _build_failed = True
+    return _lib
+
+
+def available():
+    return get_lib() is not None
+
+
+def _p(arr):
+    return arr.ctypes.data_as(_I64)
+
+
+def _as_i64(x):
+    return np.ascontiguousarray(np.asarray(x), dtype=np.int64)
+
+
+def ind2ptr_c(ind, n):
+    lib = get_lib()
+    ind = _as_i64(ind)
+    out = np.empty(n + 1, np.int64)
+    lib.ind2ptr(_p(ind), len(ind), n, _p(out))
+    return out
+
+
+def ptr2ind_c(ptr):
+    lib = get_lib()
+    ptr = _as_i64(ptr)
+    out = np.empty(int(ptr[-1]), np.int64)
+    lib.ptr2ind(_p(ptr), len(ptr) - 1, _p(out))
+    return out
+
+
+def neighbor_sample_c(colptr, row, edge_perm, seeds, fanouts, replace,
+                      rng_seed, node_cap=None, edge_cap=None):
+    """Returns (nodes, rows, cols, edges, hop_nodes, hop_edges)."""
+    lib = get_lib()
+    colptr, row = _as_i64(colptr), _as_i64(row)
+    edge_perm = _as_i64(edge_perm)
+    seeds, fanouts = _as_i64(seeds), _as_i64(fanouts)
+    if node_cap is None:
+        cap = len(seeds)
+        for f in fanouts:
+            cap = cap * (1 + (int(f) if f >= 0 else 0))
+        node_cap = min(max(cap, len(seeds) + 1), len(colptr) - 1 + len(seeds))
+        if (fanouts < 0).any():
+            node_cap = len(colptr) - 1 + len(seeds)
+    if edge_cap is None:
+        edge_cap = max(node_cap * max(
+            [int(f) for f in fanouts if f >= 0] + [1]), len(row))
+    nodes = np.empty(node_cap, np.int64)
+    rows = np.empty(edge_cap, np.int64)
+    cols = np.empty(edge_cap, np.int64)
+    edges = np.empty(edge_cap, np.int64)
+    n_nodes = np.zeros(1, np.int64)
+    n_edges = np.zeros(1, np.int64)
+    hop_nodes = np.zeros(len(fanouts) + 1, np.int64)
+    hop_edges = np.zeros(len(fanouts), np.int64)
+    rc = lib.neighbor_sample(
+        _p(colptr), _p(row), _p(edge_perm), _p(seeds), len(seeds),
+        _p(fanouts), len(fanouts), int(replace), rng_seed,
+        node_cap, edge_cap, _p(nodes), _p(rows), _p(cols), _p(edges),
+        _p(n_nodes), _p(n_edges), _p(hop_nodes), _p(hop_edges))
+    if rc != 0:
+        raise RuntimeError("neighbor_sample capacity exceeded")
+    nn, ne = int(n_nodes[0]), int(n_edges[0])
+    return (nodes[:nn], rows[:ne], cols[:ne], edges[:ne],
+            hop_nodes.tolist(), hop_edges.tolist())
+
+
+def random_walk_c(rowptr, col, starts, walk_length, rng_seed):
+    lib = get_lib()
+    rowptr, col, starts = _as_i64(rowptr), _as_i64(col), _as_i64(starts)
+    out = np.empty((len(starts), walk_length + 1), np.int64)
+    lib.random_walk(_p(rowptr), _p(col), _p(starts), len(starts),
+                    walk_length, rng_seed, _p(out))
+    return out
+
+
+def saint_subgraph_c(rowptr, col, edge_perm, nodes):
+    lib = get_lib()
+    rowptr, col = _as_i64(rowptr), _as_i64(col)
+    edge_perm, nodes = _as_i64(edge_perm), _as_i64(nodes)
+    cap = len(col)
+    rows = np.empty(cap, np.int64)
+    cols = np.empty(cap, np.int64)
+    edges = np.empty(cap, np.int64)
+    ne = lib.saint_subgraph(_p(rowptr), _p(col), _p(edge_perm), _p(nodes),
+                            len(nodes), _p(rows), _p(cols), _p(edges), cap)
+    if ne < 0:
+        raise RuntimeError("saint_subgraph capacity exceeded")
+    return rows[:ne], cols[:ne], edges[:ne]

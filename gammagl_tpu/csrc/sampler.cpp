@@ -1,0 +1,166 @@
+// Host-side graph sampling kernels.
+//
+// TPU-native equivalent of the reference's C++ sampling extension
+// (reference: gammagl/ops/sparse/cpu/neighbor_sample.cpp:22 fanout loop over
+// CSC with hash-map relabeling; rw.cpp:1-58 random walks; saint.cpp subgraph;
+// sample.cpp per-layer adj sampling; convert.cpp ind2ptr/ptr2ind).
+// Sampling is data-dependent-shape host work, so it stays native C++ on the
+// TPU host VM; Python binds via ctypes (no pybind11 in this image).
+//
+// All functions are extern "C", operate on caller-allocated int64 buffers,
+// and return actual sizes; callers pad the results to static shapes before
+// device transfer.
+
+#include <cstdint>
+#include <cstring>
+#include <random>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+// COO (sorted) row indices -> CSR pointer array of length n+1.
+void ind2ptr(const int64_t* ind, int64_t num_ind, int64_t n, int64_t* out) {
+  int64_t i = 0;
+  for (int64_t r = 0; r <= n; ++r) {
+    while (i < num_ind && ind[i] < r) ++i;
+    out[r] = i;
+  }
+}
+
+// CSR pointer array -> per-nonzero row indices.
+void ptr2ind(const int64_t* ptr, int64_t n, int64_t* out) {
+  for (int64_t r = 0; r < n; ++r)
+    for (int64_t e = ptr[r]; e < ptr[r + 1]; ++e) out[e] = r;
+}
+
+// Multi-hop fixed-fanout neighbor sampling over CSC (colptr, row).
+//
+// seeds come first in the output node list; edges are (row_local,
+// col_local, edge_global). Returns 0 on success, -1 if a capacity was
+// exceeded. out_num_{nodes,edges} receive actual counts;
+// hop_nodes/hop_edges (length num_hops[+1]) receive per-hop counts.
+int neighbor_sample(const int64_t* colptr, const int64_t* row,
+                    const int64_t* edge_perm,  // CSC position -> global edge
+                    const int64_t* seeds, int64_t num_seeds,
+                    const int64_t* fanouts, int64_t num_hops, int replace,
+                    uint64_t rng_seed,
+                    int64_t node_cap, int64_t edge_cap,
+                    int64_t* out_nodes, int64_t* out_rows,
+                    int64_t* out_cols, int64_t* out_edges,
+                    int64_t* out_num_nodes, int64_t* out_num_edges,
+                    int64_t* hop_nodes, int64_t* hop_edges) {
+  std::mt19937_64 rng(rng_seed);
+  std::unordered_map<int64_t, int64_t> local;
+  local.reserve(static_cast<size_t>(node_cap) * 2);
+  int64_t n_nodes = 0, n_edges = 0;
+  for (int64_t i = 0; i < num_seeds; ++i) {
+    if (n_nodes >= node_cap) return -1;
+    local.emplace(seeds[i], n_nodes);
+    out_nodes[n_nodes++] = seeds[i];
+  }
+  hop_nodes[0] = num_seeds;
+  std::vector<int64_t> frontier(seeds, seeds + num_seeds);
+  std::vector<int64_t> next;
+  std::vector<int64_t> take;
+  for (int64_t hop = 0; hop < num_hops; ++hop) {
+    next.clear();
+    int64_t hop_edge_count = 0;
+    const int64_t fanout = fanouts[hop];
+    for (int64_t dst : frontier) {
+      const int64_t lo = colptr[dst], hi = colptr[dst + 1];
+      const int64_t deg = hi - lo;
+      if (deg == 0) continue;
+      take.clear();
+      if (fanout < 0 || (deg <= fanout && !replace)) {
+        for (int64_t e = lo; e < hi; ++e) take.push_back(e);
+      } else if (replace) {
+        std::uniform_int_distribution<int64_t> dist(0, deg - 1);
+        for (int64_t k = 0; k < fanout; ++k) take.push_back(lo + dist(rng));
+      } else {
+        // partial Fisher-Yates over [0, deg) for fanout draws
+        std::vector<int64_t> idx(deg);
+        for (int64_t k = 0; k < deg; ++k) idx[k] = k;
+        for (int64_t k = 0; k < fanout; ++k) {
+          std::uniform_int_distribution<int64_t> dist(k, deg - 1);
+          std::swap(idx[k], idx[dist(rng)]);
+          take.push_back(lo + idx[k]);
+        }
+      }
+      const int64_t dst_local = local.find(dst)->second;
+      for (int64_t e : take) {
+        const int64_t src = row[e];
+        auto it = local.find(src);
+        int64_t src_local;
+        if (it == local.end()) {
+          if (n_nodes >= node_cap) return -1;
+          src_local = n_nodes;
+          local.emplace(src, n_nodes);
+          out_nodes[n_nodes++] = src;
+          next.push_back(src);
+        } else {
+          src_local = it->second;
+        }
+        if (n_edges >= edge_cap) return -1;
+        out_rows[n_edges] = src_local;
+        out_cols[n_edges] = dst_local;
+        out_edges[n_edges] = edge_perm ? edge_perm[e] : e;
+        ++n_edges;
+        ++hop_edge_count;
+      }
+    }
+    hop_nodes[hop + 1] = static_cast<int64_t>(next.size());
+    hop_edges[hop] = hop_edge_count;
+    frontier.swap(next);
+  }
+  *out_num_nodes = n_nodes;
+  *out_num_edges = n_edges;
+  return 0;
+}
+
+// Uniform random walks over CSR (reference rw.cpp).
+void random_walk(const int64_t* rowptr, const int64_t* col,
+                 const int64_t* starts, int64_t num_starts,
+                 int64_t walk_length, uint64_t rng_seed, int64_t* out) {
+  std::mt19937_64 rng(rng_seed);
+  for (int64_t i = 0; i < num_starts; ++i) {
+    int64_t cur = starts[i];
+    out[i * (walk_length + 1)] = cur;
+    for (int64_t t = 1; t <= walk_length; ++t) {
+      const int64_t lo = rowptr[cur], hi = rowptr[cur + 1];
+      if (hi > lo) {
+        std::uniform_int_distribution<int64_t> dist(lo, hi - 1);
+        cur = col[dist(rng)];
+      }
+      out[i * (walk_length + 1) + t] = cur;
+    }
+  }
+}
+
+// Node-induced subgraph: edges with both endpoints in the node set,
+// relabeled (reference saint.cpp). Returns edge count.
+int64_t saint_subgraph(const int64_t* rowptr, const int64_t* col,
+                       const int64_t* edge_perm,
+                       const int64_t* nodes, int64_t num_nodes_sub,
+                       int64_t* out_rows, int64_t* out_cols,
+                       int64_t* out_edges, int64_t edge_cap) {
+  std::unordered_map<int64_t, int64_t> local;
+  local.reserve(static_cast<size_t>(num_nodes_sub) * 2);
+  for (int64_t i = 0; i < num_nodes_sub; ++i) local.emplace(nodes[i], i);
+  int64_t n_edges = 0;
+  for (int64_t i = 0; i < num_nodes_sub; ++i) {
+    const int64_t u = nodes[i];
+    for (int64_t e = rowptr[u]; e < rowptr[u + 1]; ++e) {
+      auto it = local.find(col[e]);
+      if (it == local.end()) continue;
+      if (n_edges >= edge_cap) return -1;
+      out_rows[n_edges] = i;
+      out_cols[n_edges] = it->second;
+      out_edges[n_edges] = edge_perm ? edge_perm[e] : e;
+      ++n_edges;
+    }
+  }
+  return n_edges;
+}
+
+}  // extern "C"

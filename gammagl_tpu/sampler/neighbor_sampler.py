@@ -54,15 +54,40 @@ class NeighborSampler:
     """
 
     def __init__(self, edge_index, num_nodes, num_neighbors: Sequence[int],
-                 replace=False, seed=None):
+                 replace=False, seed=None, use_ext=True):
         self.num_nodes = num_nodes
         self.num_neighbors = list(num_neighbors)
         self.replace = replace
         self.colptr, self.row, self.edge_perm = _to_csc(edge_index,
                                                         num_nodes)
         self.rng = np.random.default_rng(seed)
+        # C++ fast path (mirrors the reference's `use_ext` downgrade,
+        # gammagl/mpops/torch.py:2-7): fall back to numpy when the native
+        # lib is unavailable.
+        self._ext = None
+        if use_ext:
+            from gammagl_tpu import csrc
+            if csrc.available():
+                self._ext = csrc
 
     def sample_from_nodes(self, seed_nodes) -> SamplerOutput:
+        if self._ext is not None:
+            return self._sample_ext(seed_nodes)
+        return self._sample_np(seed_nodes)
+
+    def _sample_ext(self, seed_nodes) -> SamplerOutput:
+        seed_nodes = np.asarray(seed_nodes, dtype=np.int64)
+        nodes, rows, cols, edges, hop_nodes, hop_edges = \
+            self._ext.neighbor_sample_c(
+                self.colptr, self.row, self.edge_perm, seed_nodes,
+                self.num_neighbors, self.replace,
+                int(self.rng.integers(0, 2 ** 63)))
+        return SamplerOutput(node=nodes, row=rows, col=cols, edge=edges,
+                             batch_size=len(seed_nodes),
+                             num_sampled_nodes=hop_nodes,
+                             num_sampled_edges=hop_edges)
+
+    def _sample_np(self, seed_nodes) -> SamplerOutput:
         seed_nodes = np.asarray(seed_nodes, dtype=np.int64)
         sampled = list(seed_nodes)
         local = {int(n): i for i, n in enumerate(seed_nodes)}
