@@ -9,6 +9,15 @@ from gammagl_tpu.models.simple_models import (
     MixHopModel, GPRGNNModel, FAGCNModel)
 from gammagl_tpu.models.hetero import (RGCNModel, HANModel, HGTModel,
                                        SimpleHGNModel)
+from gammagl_tpu.models.embedding import DeepWalk, Node2Vec, MetaPath2Vec
+from gammagl_tpu.models.ssl import (DGIModel, GraceModel, MVGRLModel,
+                                    InfoGraph, GGDModel, grace_loss,
+                                    corrupt_features,
+                                    drop_edge_and_feature)
+from gammagl_tpu.models.autoencoder import (GAEModel, VGAEModel,
+                                            inner_product_decoder,
+                                            recon_loss)
+from gammagl_tpu.models.graphormer import GraphormerModel
 
 __all__ = [
     "GCNModel",
@@ -30,4 +39,20 @@ __all__ = [
     "HANModel",
     "HGTModel",
     "SimpleHGNModel",
+    "DeepWalk",
+    "Node2Vec",
+    "MetaPath2Vec",
+    "DGIModel",
+    "GraceModel",
+    "MVGRLModel",
+    "InfoGraph",
+    "GGDModel",
+    "grace_loss",
+    "corrupt_features",
+    "drop_edge_and_feature",
+    "GAEModel",
+    "VGAEModel",
+    "inner_product_decoder",
+    "recon_loss",
+    "GraphormerModel",
 ]

@@ -16,6 +16,7 @@ from gammagl_tpu.utils.misc import (homophily, get_laplacian,
                                     to_scipy_sparse_matrix,
                                     from_scipy_sparse_matrix,
                                     get_train_val_test_split)
+from gammagl_tpu.utils.shortest_path import shortest_path
 from gammagl_tpu.ops.softmax import segment_softmax
 
 __all__ = [
@@ -43,4 +44,5 @@ __all__ = [
     "from_scipy_sparse_matrix",
     "get_train_val_test_split",
     "segment_softmax",
+    "shortest_path",
 ]
