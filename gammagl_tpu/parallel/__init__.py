@@ -11,6 +11,8 @@ from gammagl_tpu.parallel.partition import (EdgePartition,
                                             partition_edges_by_dst,
                                             partition_edges_uniform)
 from gammagl_tpu.parallel.spmm import sharded_spmm, make_sharded_spmm
+from gammagl_tpu.parallel.halo import (HaloPartition, build_halo_partition,
+                                       make_halo_spmm, reorder_bandwidth)
 
 __all__ = [
     "make_mesh",
@@ -23,4 +25,8 @@ __all__ = [
     "partition_edges_uniform",
     "sharded_spmm",
     "make_sharded_spmm",
+    "HaloPartition",
+    "build_halo_partition",
+    "make_halo_spmm",
+    "reorder_bandwidth",
 ]
