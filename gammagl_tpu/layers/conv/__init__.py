@@ -10,6 +10,10 @@ from gammagl_tpu.layers.conv.simple_convs import (
 from gammagl_tpu.layers.conv.rgcn_conv import RGCNConv
 from gammagl_tpu.layers.conv.hetero_conv import (HeteroConv, HANConv,
                                                  HGTConv, SimpleHGNConv)
+from gammagl_tpu.layers.conv.wave2_convs import (PNAConv, FILMConv,
+                                                 EdgeConv, GMMConv,
+                                                 CompConv, GaANConv,
+                                                 DNAConv, HypergraphConv)
 
 __all__ = [
     "MessagePassing",
@@ -32,4 +36,12 @@ __all__ = [
     "HANConv",
     "HGTConv",
     "SimpleHGNConv",
+    "PNAConv",
+    "FILMConv",
+    "EdgeConv",
+    "GMMConv",
+    "CompConv",
+    "GaANConv",
+    "DNAConv",
+    "HypergraphConv",
 ]

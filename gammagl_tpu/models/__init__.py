@@ -18,6 +18,8 @@ from gammagl_tpu.models.autoencoder import (GAEModel, VGAEModel,
                                             inner_product_decoder,
                                             recon_loss)
 from gammagl_tpu.models.graphormer import GraphormerModel
+from gammagl_tpu.models.wave2_models import (PNAModel, CompGCNModel,
+                                             DGCNNModel, GaANModel)
 
 __all__ = [
     "GCNModel",
@@ -55,4 +57,8 @@ __all__ = [
     "inner_product_decoder",
     "recon_loss",
     "GraphormerModel",
+    "PNAModel",
+    "CompGCNModel",
+    "DGCNNModel",
+    "GaANModel",
 ]
