@@ -7,6 +7,11 @@ from gammagl_tpu.data.dataset import Dataset, InMemoryDataset
 from gammagl_tpu.data.padding import pad_graph, size_bucket, pad_to
 from gammagl_tpu.data.download import (download_url, extract_zip,
                                        extract_tar, extract_gz)
+from gammagl_tpu.data.feature_store import (TensorAttr, FeatureStore,
+                                            InMemoryFeatureStore)
+from gammagl_tpu.data.graph_store import (EdgeLayout, EdgeAttr, GraphStore,
+                                          InMemoryGraphStore)
+from gammagl_tpu.data.config import get_config, get_dataset_root
 
 __all__ = [
     "Graph",
@@ -22,4 +27,13 @@ __all__ = [
     "extract_zip",
     "extract_tar",
     "extract_gz",
+    "TensorAttr",
+    "FeatureStore",
+    "InMemoryFeatureStore",
+    "EdgeLayout",
+    "EdgeAttr",
+    "GraphStore",
+    "InMemoryGraphStore",
+    "get_config",
+    "get_dataset_root",
 ]

@@ -8,6 +8,10 @@ from gammagl_tpu.loader.graph_saint import (GraphSAINTSampler,
                                             GraphSAINTNodeSampler,
                                             GraphSAINTRandomWalkSampler)
 from gammagl_tpu.loader.random_walk import random_walk, RandomWalkLoader
+from gammagl_tpu.loader.neighbor_sampler import Adj, NeighborSamplerLoader
+from gammagl_tpu.loader.hetero_sampler import (HeteroNeighborSampler,
+                                               HeteroNeighborLoader)
+from gammagl_tpu.loader.prefetch import PrefetchLoader, prefetch_to_device
 
 __all__ = [
     "DataLoader",
@@ -22,4 +26,10 @@ __all__ = [
     "GraphSAINTRandomWalkSampler",
     "random_walk",
     "RandomWalkLoader",
+    "Adj",
+    "NeighborSamplerLoader",
+    "HeteroNeighborSampler",
+    "HeteroNeighborLoader",
+    "PrefetchLoader",
+    "prefetch_to_device",
 ]

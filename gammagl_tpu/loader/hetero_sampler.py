@@ -1,0 +1,138 @@
+"""Heterogeneous neighbor sampling and loading.
+
+Reference: gammagl/loader/hetero_sampler.py:77 over the C++
+`hetero_neighbor_sample` (gammagl/ops/sparse/cpu/neighbor_sample.cpp:125):
+per-hop, per-edge-type fanout sampling with per-node-type relabeling,
+yielding a typed subgraph.
+"""
+
+from typing import Dict, List, Sequence, Union
+
+import numpy as np
+
+from gammagl_tpu.data.heterograph import HeteroGraph
+from gammagl_tpu.ops.sparse import ind2ptr_np
+
+__all__ = ["HeteroNeighborSampler", "HeteroNeighborLoader"]
+
+
+class HeteroNeighborSampler:
+    def __init__(self, hetero_graph: HeteroGraph,
+                 num_neighbors: Union[Sequence[int], Dict],
+                 seed=None):
+        self.graph = hetero_graph
+        self.edge_types = hetero_graph.edge_types
+        if not isinstance(num_neighbors, dict):
+            num_neighbors = {et: list(num_neighbors)
+                             for et in self.edge_types}
+        self.num_neighbors = num_neighbors
+        self.num_hops = max(len(v) for v in num_neighbors.values())
+        self.rng = np.random.default_rng(seed)
+        # per-edge-type CSC
+        self._csc = {}
+        for et in self.edge_types:
+            ei = np.asarray(hetero_graph[et].edge_index)
+            n_dst = hetero_graph[et[2]].num_nodes or int(ei[1].max()) + 1
+            order = np.argsort(ei[1], kind="stable")
+            self._csc[et] = (ind2ptr_np(ei[1][order], n_dst),
+                             ei[0][order], order)
+
+    def sample_from_nodes(self, seed_dict: Dict[str, np.ndarray]):
+        """seed_dict: node-type -> seed ids. Returns (node_dict, row_dict,
+        col_dict, edge_dict, batch_size_dict)."""
+        local = {nt: {} for nt in self.graph.node_types}
+        nodes = {nt: [] for nt in self.graph.node_types}
+        for nt, seeds in seed_dict.items():
+            for s in np.asarray(seeds):
+                local[nt][int(s)] = len(nodes[nt])
+                nodes[nt].append(int(s))
+        rows = {et: [] for et in self.edge_types}
+        cols = {et: [] for et in self.edge_types}
+        eids = {et: [] for et in self.edge_types}
+        frontier = {nt: list(v) for nt, v in nodes.items()}
+        for hop in range(self.num_hops):
+            new_frontier = {nt: [] for nt in self.graph.node_types}
+            for et in self.edge_types:
+                fanouts = self.num_neighbors[et]
+                if hop >= len(fanouts):
+                    continue
+                fanout = fanouts[hop]
+                src_t, _, dst_t = et
+                colptr, row, perm = self._csc[et]
+                for dst in frontier.get(dst_t, []):
+                    if dst >= len(colptr) - 1:
+                        continue
+                    lo, hi = colptr[dst], colptr[dst + 1]
+                    deg = hi - lo
+                    if deg == 0:
+                        continue
+                    if fanout < 0 or deg <= fanout:
+                        take = np.arange(lo, hi)
+                    else:
+                        take = lo + self.rng.choice(deg, fanout,
+                                                    replace=False)
+                    for e in take:
+                        s = int(row[e])
+                        if s not in local[src_t]:
+                            local[src_t][s] = len(nodes[src_t])
+                            nodes[src_t].append(s)
+                            new_frontier[src_t].append(s)
+                        rows[et].append(local[src_t][s])
+                        cols[et].append(local[dst_t][dst])
+                        eids[et].append(int(perm[e]))
+            frontier = new_frontier
+        return (
+            {nt: np.asarray(v, np.int64) for nt, v in nodes.items()},
+            {et: np.asarray(v, np.int64) for et, v in rows.items()},
+            {et: np.asarray(v, np.int64) for et, v in cols.items()},
+            {et: np.asarray(v, np.int64) for et, v in eids.items()},
+            {nt: len(v) for nt, v in seed_dict.items()},
+        )
+
+
+class HeteroNeighborLoader:
+    """Minibatch loader over one seed node type; yields typed subgraphs."""
+
+    def __init__(self, hetero_graph, num_neighbors, input_nodes,
+                 batch_size=128, shuffle=False, seed=None):
+        self.graph = hetero_graph
+        self.sampler = HeteroNeighborSampler(hetero_graph, num_neighbors,
+                                             seed)
+        self.seed_type, idx = input_nodes
+        idx = np.asarray(idx)
+        if idx.dtype == bool:
+            idx = np.nonzero(idx)[0]
+        self.input_nodes = idx
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return -(-len(self.input_nodes) // self.batch_size)
+
+    def __iter__(self):
+        order = self.input_nodes.copy()
+        if self.shuffle:
+            self.rng.shuffle(order)
+        for lo in range(0, len(order), self.batch_size):
+            seeds = order[lo:lo + self.batch_size]
+            node_d, row_d, col_d, eid_d, bs_d = \
+                self.sampler.sample_from_nodes({self.seed_type: seeds})
+            sub = HeteroGraph()
+            for nt, ids in node_d.items():
+                if len(ids) == 0:
+                    continue
+                store = self.graph[nt]
+                sub[nt].n_id = ids
+                sub[nt].num_nodes = len(ids)
+                if "x" in store:
+                    sub[nt].x = np.asarray(store.x)[ids]
+                if "y" in store:
+                    sub[nt].y = np.asarray(store.y)[ids]
+            for et in row_d:
+                if len(row_d[et]) == 0:
+                    continue
+                sub[et].edge_index = np.stack([row_d[et], col_d[et]])
+                sub[et].e_id = eid_d[et]
+            sub[self.seed_type].batch_size = bs_d[self.seed_type]
+            yield sub

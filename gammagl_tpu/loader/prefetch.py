@@ -1,0 +1,57 @@
+"""Double-buffered host -> device prefetch.
+
+The TPU-native successor of the reference's gglspeedup tier (SURVEY.md
+section 2.6: GPU feature caches / IPC-shared samplers): a background thread
+runs the host sampler + collation and `jax.device_put`s the next batch while
+the current step computes, hiding transfer latency behind the step.
+"""
+
+import queue
+import threading
+
+import jax
+
+__all__ = ["PrefetchLoader", "prefetch_to_device"]
+
+
+def prefetch_to_device(iterator, size=2, device=None):
+    """Generator wrapping `iterator`; keeps `size` batches resident
+    on device ahead of the consumer."""
+    q = queue.Queue(maxsize=size)
+    sentinel = object()
+    err = []
+
+    def worker():
+        try:
+            for item in iterator:
+                item = jax.device_put(item, device)
+                q.put(item)
+        except Exception as e:  # surface in consumer thread
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+class PrefetchLoader:
+    """Wrap any host loader with device prefetching."""
+
+    def __init__(self, loader, size=2, device=None):
+        self.loader = loader
+        self.size = size
+        self.device = device
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        return prefetch_to_device(iter(self.loader), self.size, self.device)
