@@ -11,6 +11,11 @@ from gammagl_tpu.datasets.wikics import WikiCS
 from gammagl_tpu.datasets.geom_gcn import WebKB, WikipediaNetwork, Actor
 from gammagl_tpu.datasets.synthetic import (StochasticBlockModelDataset,
                                             synthetic_community_graph)
+from gammagl_tpu.datasets.hetero_datasets import IMDB, DBLP, HGBDataset
+from gammagl_tpu.datasets.saint_datasets import Flickr, Yelp
+from gammagl_tpu.datasets.misc_datasets import (PolBlogs, BlogCatalog,
+                                                CAGrQc, Airports, Entities,
+                                                ZINC)
 
 __all__ = [
     "Planetoid",
@@ -28,4 +33,15 @@ __all__ = [
     "Actor",
     "StochasticBlockModelDataset",
     "synthetic_community_graph",
+    "IMDB",
+    "DBLP",
+    "HGBDataset",
+    "Flickr",
+    "Yelp",
+    "PolBlogs",
+    "BlogCatalog",
+    "CAGrQc",
+    "Airports",
+    "Entities",
+    "ZINC",
 ]
