@@ -14,6 +14,8 @@ from gammagl_tpu.layers.conv.wave2_convs import (PNAConv, FILMConv,
                                                  EdgeConv, GMMConv,
                                                  CompConv, GaANConv,
                                                  DNAConv, HypergraphConv)
+from gammagl_tpu.layers.conv.hetero_wave2 import (HPNConv, ieHGCNConv,
+                                                  HidConv, RoheHANConv)
 
 __all__ = [
     "MessagePassing",
@@ -44,4 +46,8 @@ __all__ = [
     "GaANConv",
     "DNAConv",
     "HypergraphConv",
+    "HPNConv",
+    "ieHGCNConv",
+    "HidConv",
+    "RoheHANConv",
 ]

@@ -20,6 +20,11 @@ from gammagl_tpu.models.autoencoder import (GAEModel, VGAEModel,
 from gammagl_tpu.models.graphormer import GraphormerModel
 from gammagl_tpu.models.wave2_models import (PNAModel, CompGCNModel,
                                              DGCNNModel, GaANModel)
+from gammagl_tpu.models.wave3_models import (SGFormerModel, GNNLFHFModel,
+                                             HiDNetModel, CAGCNModel,
+                                             HPNModel, ieHGCNModel,
+                                             RoheHANModel, MERITModel,
+                                             GRADEModel, tadw)
 
 __all__ = [
     "GCNModel",
@@ -61,4 +66,14 @@ __all__ = [
     "CompGCNModel",
     "DGCNNModel",
     "GaANModel",
+    "SGFormerModel",
+    "GNNLFHFModel",
+    "HiDNetModel",
+    "CAGCNModel",
+    "HPNModel",
+    "ieHGCNModel",
+    "RoheHANModel",
+    "MERITModel",
+    "GRADEModel",
+    "tadw",
 ]
