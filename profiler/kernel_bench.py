@@ -1,0 +1,76 @@
+"""Kernel micro-benchmarks: segment ops + SpMM across sizes and dims.
+
+Mirrors the reference protocol (reference profiler/mpops/complete_test/
+README.md: Cora 2,708n/13,264e; PubMed 19,717n/108,368e; ogbn-arxiv
+169,343n/2,315,598e; feature dims {16,64,256}; repeated iterations),
+comparing the XLA scatter path against the Pallas CSR kernels on the
+current default device.
+
+Usage: python profiler/kernel_bench.py [--dims 16 64 256] [--iters 10]
+"""
+
+import argparse
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+GRAPHS = {
+    "cora": (2_708, 13_264),
+    "pubmed": (19_717, 108_368),
+    "ogbn-arxiv": (169_343, 2_315_598),
+}
+
+
+def timeit(fn, args_cycle, iters=10, warmup=2):
+    k = len(args_cycle)
+    for i in range(warmup):
+        out = fn(*args_cycle[i % k])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(*args_cycle[i % k])
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dims", type=int, nargs="+", default=[16, 64, 256])
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--graphs", nargs="+", default=list(GRAPHS))
+    args = parser.parse_args()
+
+    from gammagl_tpu.ops import segment_sum, spmm
+    from gammagl_tpu.ops.pallas import build_csr_plan, spmm_csr
+
+    rng = np.random.default_rng(0)
+    print(f"device: {jax.devices()[0]}")
+    print(f"{'graph':>12} {'F':>4} {'xla spmm':>10} {'pallas':>10} "
+          f"{'speedup':>8} {'edges/s':>12}")
+    for name in args.graphs:
+        N, E = GRAPHS[name]
+        src = rng.integers(0, N, E)
+        dst = (N * (rng.random(E) ** 1.5)).astype(np.int64)
+        w = rng.random(E).astype(np.float32)
+        ei = jnp.asarray(np.stack([src, dst]).astype(np.int32))
+        wj = jnp.asarray(w)
+        plan = build_csr_plan(src, dst, N)
+        for F in args.dims:
+            xs = [jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+                  for _ in range(3)]
+            t_x = timeit(jax.jit(lambda x: spmm(ei, wj, x, num_nodes=N)),
+                         [(x,) for x in xs], args.iters)
+            t_p = timeit(jax.jit(lambda x: spmm_csr(x, wj, plan)),
+                         [(x,) for x in xs], args.iters)
+            print(f"{name:>12} {F:>4} {t_x * 1e3:>9.2f}m {t_p * 1e3:>9.2f}m "
+                  f"{t_x / t_p:>7.2f}x {E / t_p:>12.3e}")
+
+
+if __name__ == "__main__":
+    main()
