@@ -25,6 +25,11 @@ from gammagl_tpu.models.wave3_models import (SGFormerModel, GNNLFHFModel,
                                              HPNModel, ieHGCNModel,
                                              RoheHANModel, MERITModel,
                                              GRADEModel, tadw)
+from gammagl_tpu.models.spectral import (SpecformerModel, laplacian_eigh,
+                                         MGNNIModel)
+from gammagl_tpu.models.heco import HeCoModel, heco_contrast_loss
+from gammagl_tpu.models.gan_distill import (GraphGAN, herec, distill_loss,
+                                            GLNNStudent)
 
 __all__ = [
     "GCNModel",
@@ -76,4 +81,13 @@ __all__ = [
     "MERITModel",
     "GRADEModel",
     "tadw",
+    "SpecformerModel",
+    "laplacian_eigh",
+    "MGNNIModel",
+    "HeCoModel",
+    "heco_contrast_loss",
+    "GraphGAN",
+    "herec",
+    "distill_loss",
+    "GLNNStudent",
 ]

@@ -17,6 +17,9 @@ from gammagl_tpu.utils.misc import (homophily, get_laplacian,
                                     from_scipy_sparse_matrix,
                                     get_train_val_test_split)
 from gammagl_tpu.utils.shortest_path import shortest_path
+from gammagl_tpu.utils.pruning import (threshold_prune, prune_params,
+                                       rewind, sparsity,
+                                       prune_edges_by_weight)
 from gammagl_tpu.ops.softmax import segment_softmax
 
 __all__ = [
@@ -45,4 +48,9 @@ __all__ = [
     "get_train_val_test_split",
     "segment_softmax",
     "shortest_path",
+    "threshold_prune",
+    "prune_params",
+    "rewind",
+    "sparsity",
+    "prune_edges_by_weight",
 ]
