@@ -2,9 +2,12 @@
 
 from gammagl_tpu.ops.pallas.segment_matmul import (  # noqa: F401
     CSRPlan,
+    BlockedCSRPlan,
     build_csr_plan,
+    build_csr_plan_blocked,
     segment_sum_csr,
     spmm_csr,
 )
 
-__all__ = ["CSRPlan", "build_csr_plan", "segment_sum_csr", "spmm_csr"]
+__all__ = ["CSRPlan", "BlockedCSRPlan", "build_csr_plan",
+           "build_csr_plan_blocked", "segment_sum_csr", "spmm_csr"]

@@ -17,6 +17,10 @@ from gammagl_tpu.utils.misc import (homophily, get_laplacian,
                                     from_scipy_sparse_matrix,
                                     get_train_val_test_split)
 from gammagl_tpu.utils.shortest_path import shortest_path
+from gammagl_tpu.utils.smiles import from_smiles
+from gammagl_tpu.utils.paths_io import (find_all_simple_paths,
+                                        read_embeddings, save_embeddings,
+                                        Inspector)
 from gammagl_tpu.utils.pruning import (threshold_prune, prune_params,
                                        rewind, sparsity,
                                        prune_edges_by_weight)
@@ -48,6 +52,11 @@ __all__ = [
     "get_train_val_test_split",
     "segment_softmax",
     "shortest_path",
+    "from_smiles",
+    "find_all_simple_paths",
+    "read_embeddings",
+    "save_embeddings",
+    "Inspector",
     "threshold_prune",
     "prune_params",
     "rewind",
