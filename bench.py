@@ -36,7 +36,7 @@ def _timeit(fn, args_cycle, iters=12, warmup=3):
 
 def bench_spmm(dtype=jnp.float32, F=256):
     from gammagl_tpu.ops import spmm
-    from gammagl_tpu.ops.pallas import build_csr_plan, spmm_csr
+    from gammagl_tpu.ops.pallas import build_csr_plan_blocked, spmm_csr
 
     N, E = 169_343, 2_315_598
     rng = np.random.default_rng(0)
@@ -51,7 +51,11 @@ def bench_spmm(dtype=jnp.float32, F=256):
     xla_fn = jax.jit(lambda x, w: spmm(ei, w, x, num_nodes=N))
     t_xla = _timeit(xla_fn, [(x, wj) for x in xs])
 
-    plan = build_csr_plan(src, dst, N)
+    # source-blocked plan keeps each gather's footprint in the fast regime
+    footprint = N * F * jnp.dtype(dtype).itemsize
+    nb = max(1, -(-footprint // 90_000_000))
+    plan = build_csr_plan_blocked(src, dst, N, num_src_blocks=nb,
+                                  ET=256 if nb > 1 else 512)
     pallas_fn = jax.jit(lambda x, w: spmm_csr(x, w, plan))
     t_pallas = _timeit(pallas_fn, [(x, wj) for x in xs])
 

@@ -12,6 +12,7 @@ from gammagl_tpu.data.feature_store import (TensorAttr, FeatureStore,
 from gammagl_tpu.data.graph_store import (EdgeLayout, EdgeAttr, GraphStore,
                                           InMemoryGraphStore)
 from gammagl_tpu.data.config import get_config, get_dataset_root
+from gammagl_tpu.data.edge_index import EdgeIndex
 
 __all__ = [
     "Graph",
@@ -36,4 +37,5 @@ __all__ = [
     "InMemoryGraphStore",
     "get_config",
     "get_dataset_root",
+    "EdgeIndex",
 ]

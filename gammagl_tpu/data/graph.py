@@ -167,22 +167,40 @@ class Graph(BaseGraph):
         perm = np.argsort(key, kind="stable")
         return ei[:, perm], perm
 
-    def csr_plan(self, R=256, ET=512):
-        """Cached Pallas segment-matmul layout (dst-major)."""
+    def _auto_src_blocks(self):
+        """Source blocks sized so one gather touches < ~90MB (the measured
+        TPU gather fast-footprint regime)."""
+        x = self._store.get("x")
+        if x is None:
+            return 1
+        bytes_ = self.num_nodes * int(np.prod(x.shape[1:])) * 4
+        return max(1, -(-bytes_ // 90_000_000))
+
+    def csr_plan(self, R=256, ET=None, num_src_blocks=None):
+        """Cached Pallas segment-matmul layout (dst-major), source-blocked
+        automatically for large feature matrices."""
         if self._csr_plan is None:
-            from gammagl_tpu.ops.pallas import build_csr_plan
+            from gammagl_tpu.ops.pallas import build_csr_plan_blocked
+            nb = (num_src_blocks if num_src_blocks is not None
+                  else self._auto_src_blocks())
+            et = ET if ET is not None else (256 if nb > 1 else 512)
             ei = np.asarray(self.edge_index)
-            object.__setattr__(self, "_csr_plan", build_csr_plan(
-                ei[0], ei[1], self.num_nodes, R=R, ET=ET))
+            object.__setattr__(self, "_csr_plan", build_csr_plan_blocked(
+                ei[0], ei[1], self.num_nodes, R=R, ET=et,
+                num_src_blocks=nb))
         return self._csr_plan
 
-    def csc_plan(self, R=256, ET=512):
+    def csc_plan(self, R=256, ET=None, num_src_blocks=None):
         """Transposed layout (src-major) -- the backward-pass graph."""
         if self._csc_plan is None:
-            from gammagl_tpu.ops.pallas import build_csr_plan
+            from gammagl_tpu.ops.pallas import build_csr_plan_blocked
+            nb = (num_src_blocks if num_src_blocks is not None
+                  else self._auto_src_blocks())
+            et = ET if ET is not None else (256 if nb > 1 else 512)
             ei = np.asarray(self.edge_index)
-            object.__setattr__(self, "_csc_plan", build_csr_plan(
-                ei[1], ei[0], self.num_nodes, R=R, ET=ET))
+            object.__setattr__(self, "_csc_plan", build_csr_plan_blocked(
+                ei[1], ei[0], self.num_nodes, R=R, ET=et,
+                num_src_blocks=nb))
         return self._csc_plan
 
     # -- conversion (reference graph.py:616,649) ----------------------------

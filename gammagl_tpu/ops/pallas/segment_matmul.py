@@ -9,12 +9,13 @@ via a dense (R x ET) weighted one-hot times (ET x F) message matmul -- work
 the MXU executes at near peak, making the kernel HBM-bandwidth-bound like a
 dense op. It is also fully deterministic (no atomics), unlike the reference.
 
-Performance notes (measured on TPU v5e):
-  * The XLA scatter-add this replaces runs ~48 ms on arxiv-scale
-    (2.3M edges, F=256); this kernel runs ~6-13 ms.
-  * The random src-row gather feeding SpMM is row-rate-limited (~250M
-    rows/s for rows <= 512 bytes, 3x slower for 1KB rows), so `spmm_csr`
-    chunks the feature dim into 512-byte column slices.
+Performance notes (measured on TPU v5e, arxiv-scale: 2.3M edges, F=256):
+  * The XLA scatter-add this replaces runs ~48 ms; this reduce runs
+    ~6-9 ms (bf16 single-pass / f32 bf16x3).
+  * The random src-row gather feeding SpMM runs at ~240-350 Mrows/s while
+    its touched source footprint stays under ~100 MB and collapses ~4x
+    beyond -- `BlockedCSRPlan` partitions edges by source row block to
+    stay in the fast regime (full SpMM: 26 ms vs 73 ms XLA, 2.8x).
   * The edge-weight multiply is fused into the one-hot factor -- the
     weighted message matrix is never materialized in HBM.
 

@@ -18,6 +18,7 @@ from gammagl_tpu.utils.misc import (homophily, get_laplacian,
                                     get_train_val_test_split)
 from gammagl_tpu.utils.shortest_path import shortest_path
 from gammagl_tpu.utils.smiles import from_smiles
+from gammagl_tpu.utils import manifold_math
 from gammagl_tpu.utils.paths_io import (find_all_simple_paths,
                                         read_embeddings, save_embeddings,
                                         Inspector)
@@ -53,6 +54,7 @@ __all__ = [
     "segment_softmax",
     "shortest_path",
     "from_smiles",
+    "manifold_math",
     "find_all_simple_paths",
     "read_embeddings",
     "save_embeddings",
