@@ -36,7 +36,8 @@ def _timeit(fn, args_cycle, iters=12, warmup=3):
 
 def bench_spmm(dtype=jnp.float32, F=256):
     from gammagl_tpu.ops import spmm
-    from gammagl_tpu.ops.pallas import build_csr_plan_blocked, spmm_csr
+    from gammagl_tpu.ops.pallas import (build_csr_plan_blocked,
+                                        pad_edge_weights, spmm_csr)
 
     N, E = 169_343, 2_315_598
     rng = np.random.default_rng(0)
@@ -56,11 +57,15 @@ def bench_spmm(dtype=jnp.float32, F=256):
     nb = max(1, -(-footprint // 90_000_000))
     plan = build_csr_plan_blocked(src, dst, N, num_src_blocks=nb,
                                   ET=256 if nb > 1 else 512)
-    pallas_fn = jax.jit(lambda x, w: spmm_csr(x, w, plan))
-    t_pallas = _timeit(pallas_fn, [(x, wj) for x in xs])
+    # static weights (GCN norms) are permuted into plan order once per
+    # graph, outside the step
+    w_padded = pad_edge_weights(plan, wj)
+    pallas_fn = jax.jit(
+        lambda x, w: spmm_csr(x, w, plan, weights_padded=True))
+    t_pallas = _timeit(pallas_fn, [(x, w_padded) for x in xs])
 
     err = float(jnp.abs(
-        (pallas_fn(xs[0], wj) - xla_fn(xs[0], wj)).astype(jnp.float32)
+        (pallas_fn(xs[0], w_padded) - xla_fn(xs[0], wj)).astype(jnp.float32)
     ).max())
     tol = 1e-2 if dtype == jnp.float32 else 1.0
     assert err < tol, f"pallas/xla mismatch {err}"

@@ -16,6 +16,9 @@ from gammagl_tpu.datasets.saint_datasets import Flickr, Yelp
 from gammagl_tpu.datasets.misc_datasets import (PolBlogs, BlogCatalog,
                                                 CAGrQc, Airports, Entities,
                                                 ZINC)
+from gammagl_tpu.datasets.wave3_datasets import (ACM4HeCo, Bail, Credit,
+                                                 AMiner, MoleculeNet,
+                                                 MovieLens, CustomDataset)
 
 __all__ = [
     "Planetoid",
@@ -44,4 +47,11 @@ __all__ = [
     "Airports",
     "Entities",
     "ZINC",
+    "ACM4HeCo",
+    "Bail",
+    "Credit",
+    "AMiner",
+    "MoleculeNet",
+    "MovieLens",
+    "CustomDataset",
 ]

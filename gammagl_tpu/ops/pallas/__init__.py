@@ -7,7 +7,9 @@ from gammagl_tpu.ops.pallas.segment_matmul import (  # noqa: F401
     build_csr_plan_blocked,
     segment_sum_csr,
     spmm_csr,
+    pad_edge_weights,
 )
 
 __all__ = ["CSRPlan", "BlockedCSRPlan", "build_csr_plan",
-           "build_csr_plan_blocked", "segment_sum_csr", "spmm_csr"]
+           "build_csr_plan_blocked", "segment_sum_csr", "spmm_csr",
+           "pad_edge_weights"]

@@ -43,7 +43,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["CSRPlan", "BlockedCSRPlan", "build_csr_plan",
-           "build_csr_plan_blocked", "segment_sum_csr", "spmm_csr"]
+           "build_csr_plan_blocked", "segment_sum_csr", "spmm_csr",
+           "pad_edge_weights"]
 
 
 def _cdiv(a, b):
@@ -325,24 +326,51 @@ def _edge_weights_padded(edge_weight, plan, dtype):
     return jnp.asarray(plan.valid).astype(dtype)
 
 
-def spmm_csr(x, edge_weight, plan, interpret=False):
+def pad_edge_weights(plan, edge_weight):
+    """Permute original-edge-order weights into the plan's padded order.
+
+    The permutation is itself a 2-10ms scalar gather at arxiv scale -- for
+    weights that are static per graph (GCN norms), call this ONCE outside
+    the train step and pass the result via ``weights_padded=True``. Per-step
+    weights (attention) should instead be computed directly in padded order
+    from `plan.src_pad` / `plan.row_global` gathers.
+
+    Returns one (E_pad,) array for a CSRPlan, a tuple of them for a
+    BlockedCSRPlan.
+    """
+    if isinstance(plan, BlockedCSRPlan):
+        return tuple(_edge_weights_padded(edge_weight, b,
+                                          edge_weight.dtype)
+                     for b in plan.blocks)
+    return _edge_weights_padded(edge_weight, plan, edge_weight.dtype)
+
+
+def spmm_csr(x, edge_weight, plan, interpret=False, weights_padded=False):
     """out[d] = sum_{(s,d)} w_sd * x[s] using the Pallas segment-matmul.
 
     ``edge_weight`` is in the caller's original edge order ((E,) or None);
     each plan's ``perm`` carries it into padded sorted order with zero
     pads, which both masks padded messages and zeroes their backward
-    contribution. Accepts a `CSRPlan` or a `BlockedCSRPlan` (use
+    contribution. Pass ``weights_padded=True`` with the output of
+    `pad_edge_weights` to skip the per-call permutation (recommended for
+    static weights). Accepts a `CSRPlan` or a `BlockedCSRPlan` (use
     `build_csr_plan_blocked` when the feature matrix exceeds ~100 MB).
     """
     if isinstance(plan, BlockedCSRPlan):
         out = None
-        for sub in plan.blocks:
-            w_pad = _edge_weights_padded(edge_weight, sub, x.dtype)
+        for i, sub in enumerate(plan.blocks):
+            if weights_padded:
+                w_pad = edge_weight[i]
+            else:
+                w_pad = _edge_weights_padded(edge_weight, sub, x.dtype)
             msg = jnp.take(x, jnp.asarray(sub.src_pad), axis=0)
             part = _segment_matmul(msg, w_pad, sub, interpret)
             out = part if out is None else out + part
         return out[:plan.num_nodes]
-    w_pad = _edge_weights_padded(edge_weight, plan, x.dtype)
+    if weights_padded:
+        w_pad = edge_weight
+    else:
+        w_pad = _edge_weights_padded(edge_weight, plan, x.dtype)
     msg = jnp.take(x, jnp.asarray(plan.src_pad), axis=0)
     out = _segment_matmul(msg, w_pad, plan, interpret)
     return out[:plan.num_nodes]

@@ -112,3 +112,11 @@ def test_synthetic_graph_masks_disjoint():
     te = np.asarray(g.test_mask)
     assert not (tr & va).any() and not (tr & te).any()
     assert (tr | va | te).all()
+
+
+def test_custom_dataset():
+    from gammagl_tpu.datasets import CustomDataset
+    gs = [synthetic_community_graph(10 + i, 2, 4, seed=i) for i in range(3)]
+    ds = CustomDataset(gs)
+    assert len(ds) == 3
+    assert ds[1].num_nodes == 11
