@@ -30,6 +30,9 @@ from gammagl_tpu.models.spectral import (SpecformerModel, laplacian_eigh,
 from gammagl_tpu.models.heco import HeCoModel, heco_contrast_loss
 from gammagl_tpu.models.gan_distill import (GraphGAN, herec, distill_loss,
                                             GLNNStudent)
+from gammagl_tpu.models.wave5_models import (SIGNModel, GCNUniFews,
+                                             HardGATConv, HardGATModel,
+                                             AdaGADModel, Sp2GCLModel)
 
 __all__ = [
     "GCNModel",
@@ -90,4 +93,10 @@ __all__ = [
     "herec",
     "distill_loss",
     "GLNNStudent",
+    "SIGNModel",
+    "GCNUniFews",
+    "HardGATConv",
+    "HardGATModel",
+    "AdaGADModel",
+    "Sp2GCLModel",
 ]
