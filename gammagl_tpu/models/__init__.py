@@ -33,6 +33,9 @@ from gammagl_tpu.models.gan_distill import (GraphGAN, herec, distill_loss,
 from gammagl_tpu.models.wave5_models import (SIGNModel, GCNUniFews,
                                              HardGATConv, HardGATModel,
                                              AdaGADModel, Sp2GCLModel)
+from gammagl_tpu.models.defog import (DeFoGModel, XEyTransformerLayer,
+                                      timestep_embedding, flow_interpolate,
+                                      euler_sample_step)
 
 __all__ = [
     "GCNModel",
@@ -99,4 +102,9 @@ __all__ = [
     "HardGATModel",
     "AdaGADModel",
     "Sp2GCLModel",
+    "DeFoGModel",
+    "XEyTransformerLayer",
+    "timestep_embedding",
+    "flow_interpolate",
+    "euler_sample_step",
 ]
