@@ -36,6 +36,9 @@ from gammagl_tpu.models.wave5_models import (SIGNModel, GCNUniFews,
 from gammagl_tpu.models.defog import (DeFoGModel, XEyTransformerLayer,
                                       timestep_embedding, flow_interpolate,
                                       euler_sample_step)
+from gammagl_tpu.models.graph_llm import (GraphTextCLIP, GraphLlamaAdapter,
+                                          LLaGAEncoder,
+                                          splice_graph_embeddings)
 
 __all__ = [
     "GCNModel",
@@ -107,4 +110,8 @@ __all__ = [
     "timestep_embedding",
     "flow_interpolate",
     "euler_sample_step",
+    "GraphTextCLIP",
+    "GraphLlamaAdapter",
+    "LLaGAEncoder",
+    "splice_graph_embeddings",
 ]

@@ -19,6 +19,9 @@ from gammagl_tpu.utils.misc import (homophily, get_laplacian,
 from gammagl_tpu.utils.shortest_path import shortest_path
 from gammagl_tpu.utils.smiles import from_smiles
 from gammagl_tpu.utils import manifold_math
+from gammagl_tpu.utils import gfm_utils
+from gammagl_tpu.utils.conversation import (Conversation, conv_templates,
+                                            get_conv_template)
 from gammagl_tpu.utils.paths_io import (find_all_simple_paths,
                                         read_embeddings, save_embeddings,
                                         Inspector)
@@ -55,6 +58,10 @@ __all__ = [
     "shortest_path",
     "from_smiles",
     "manifold_math",
+    "gfm_utils",
+    "Conversation",
+    "conv_templates",
+    "get_conv_template",
     "find_all_simple_paths",
     "read_embeddings",
     "save_embeddings",
