@@ -16,7 +16,8 @@ import threading
 import numpy as np
 
 __all__ = ["get_lib", "available", "neighbor_sample_c", "random_walk_c",
-           "saint_subgraph_c", "ind2ptr_c", "ptr2ind_c"]
+           "saint_subgraph_c", "ind2ptr_c", "ptr2ind_c",
+           "hetero_neighbor_sample_c"]
 
 _HERE = osp.dirname(osp.abspath(__file__))
 _SRC = osp.join(_HERE, "sampler.cpp")
@@ -47,6 +48,12 @@ def _declare(lib):
     lib.saint_subgraph.restype = ctypes.c_int64
     lib.saint_subgraph.argtypes = [_I64, _I64, _I64, _I64, ctypes.c_int64,
                                    _I64, _I64, _I64, ctypes.c_int64]
+    lib.hetero_neighbor_sample.restype = ctypes.c_int
+    lib.hetero_neighbor_sample.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, _I64, _I64, _I64, _I64, _I64,
+        _I64, _I64, _I64, ctypes.c_int64, _I64, _I64, ctypes.c_int64,
+        ctypes.c_uint64, ctypes.c_int64, ctypes.c_int64,
+        _I64, _I64, _I64, _I64, _I64, _I64]
 
 
 def get_lib():
@@ -156,3 +163,42 @@ def saint_subgraph_c(rowptr, col, edge_perm, nodes):
     if ne < 0:
         raise RuntimeError("saint_subgraph capacity exceeded")
     return rows[:ne], cols[:ne], edges[:ne]
+
+
+def hetero_neighbor_sample_c(csc_per_etype, et_src, et_dst, fanouts,
+                             seed_nodes, seed_types, num_ntypes,
+                             rng_seed, node_cap, edge_cap):
+    """csc_per_etype: list of (colptr, row, eperm) per edge type;
+    fanouts: (num_hops, num_etypes). Returns (nodes (T, cap), node_counts,
+    rows/cols/edges (E_t, cap), edge_counts)."""
+    lib = get_lib()
+    num_etypes = len(csc_per_etype)
+    colptr_cat = _as_i64(np.concatenate(
+        [c[0] for c in csc_per_etype]))
+    colptr_off = _as_i64(np.concatenate(
+        [[0], np.cumsum([len(c[0]) for c in csc_per_etype])]))
+    row_cat = _as_i64(np.concatenate([c[1] for c in csc_per_etype]))
+    eperm_cat = _as_i64(np.concatenate([c[2] for c in csc_per_etype]))
+    row_off = _as_i64(np.concatenate(
+        [[0], np.cumsum([len(c[1]) for c in csc_per_etype])]))
+    fanouts = _as_i64(fanouts)
+    num_hops = fanouts.shape[0]
+    seed_nodes = _as_i64(seed_nodes)
+    seed_types = _as_i64(seed_types)
+    nodes = np.empty((num_ntypes, node_cap), np.int64)
+    node_counts = np.zeros(num_ntypes, np.int64)
+    rows = np.empty((num_etypes, edge_cap), np.int64)
+    cols = np.empty((num_etypes, edge_cap), np.int64)
+    edges = np.empty((num_etypes, edge_cap), np.int64)
+    edge_counts = np.zeros(num_etypes, np.int64)
+    rc = lib.hetero_neighbor_sample(
+        num_ntypes, num_etypes, _p(_as_i64(et_src)), _p(_as_i64(et_dst)),
+        _p(colptr_cat), _p(colptr_off), _p(row_cat), _p(eperm_cat),
+        _p(row_off), _p(fanouts.reshape(-1)), num_hops,
+        _p(seed_nodes), _p(seed_types), len(seed_nodes),
+        rng_seed, node_cap, edge_cap,
+        _p(nodes), _p(node_counts), _p(rows), _p(cols), _p(edges),
+        _p(edge_counts))
+    if rc != 0:
+        raise RuntimeError("hetero_neighbor_sample capacity exceeded")
+    return nodes, node_counts, rows, cols, edges, edge_counts

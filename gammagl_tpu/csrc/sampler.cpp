@@ -164,3 +164,104 @@ int64_t saint_subgraph(const int64_t* rowptr, const int64_t* col,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Heterogeneous multi-hop fanout sampling (reference
+// gammagl/ops/sparse/cpu/neighbor_sample.cpp:125 hetero_neighbor_sample).
+//
+// Edge types are flattened: per edge type e, its CSC lives at
+// colptr_cat[colptr_off[e] ...] (length n_dst(e)+1) and
+// row_cat/eperm_cat[row_off[e] ...]. fanouts is (num_hops x num_etypes)
+// row-major; -1 = full neighborhood. Seeds carry their node type.
+// Outputs: per-node-type node lists (node_cap slots each, counts in
+// out_node_counts) and per-edge-type edge triples (edge_cap slots each,
+// counts in out_edge_counts), with local ids per node type.
+// Returns 0, or -1 on capacity overflow.
+int hetero_neighbor_sample(
+    int64_t num_ntypes, int64_t num_etypes,
+    const int64_t* et_src_type, const int64_t* et_dst_type,
+    const int64_t* colptr_cat, const int64_t* colptr_off,
+    const int64_t* row_cat, const int64_t* eperm_cat,
+    const int64_t* row_off,
+    const int64_t* fanouts, int64_t num_hops,
+    const int64_t* seed_nodes, const int64_t* seed_types,
+    int64_t num_seeds,
+    uint64_t rng_seed, int64_t node_cap, int64_t edge_cap,
+    int64_t* out_nodes,        // (num_ntypes * node_cap)
+    int64_t* out_node_counts,  // (num_ntypes)
+    int64_t* out_rows,         // (num_etypes * edge_cap)
+    int64_t* out_cols, int64_t* out_edges,
+    int64_t* out_edge_counts)  // (num_etypes)
+{
+  std::mt19937_64 rng(rng_seed);
+  std::vector<std::unordered_map<int64_t, int64_t>> local(num_ntypes);
+  std::vector<std::vector<int64_t>> frontier(num_ntypes), next(num_ntypes);
+  for (int64_t t = 0; t < num_ntypes; ++t) out_node_counts[t] = 0;
+  for (int64_t e = 0; e < num_etypes; ++e) out_edge_counts[e] = 0;
+  for (int64_t i = 0; i < num_seeds; ++i) {
+    const int64_t t = seed_types[i];
+    if (local[t].count(seed_nodes[i])) continue;
+    if (out_node_counts[t] >= node_cap) return -1;
+    local[t].emplace(seed_nodes[i], out_node_counts[t]);
+    out_nodes[t * node_cap + out_node_counts[t]++] = seed_nodes[i];
+    frontier[t].push_back(seed_nodes[i]);
+  }
+  std::vector<int64_t> take;
+  for (int64_t hop = 0; hop < num_hops; ++hop) {
+    for (auto& v : next) v.clear();
+    for (int64_t e = 0; e < num_etypes; ++e) {
+      const int64_t fanout = fanouts[hop * num_etypes + e];
+      if (fanout == 0) continue;
+      const int64_t st = et_src_type[e], dt = et_dst_type[e];
+      const int64_t* colptr = colptr_cat + colptr_off[e];
+      const int64_t* row = row_cat + row_off[e];
+      const int64_t* eperm = eperm_cat + row_off[e];
+      const int64_t n_dst =
+          colptr_off[e + 1] - colptr_off[e] - 1;
+      for (int64_t dst : frontier[dt]) {
+        if (dst >= n_dst) continue;
+        const int64_t lo = colptr[dst], hi = colptr[dst + 1];
+        const int64_t deg = hi - lo;
+        if (deg == 0) continue;
+        take.clear();
+        if (fanout < 0 || deg <= fanout) {
+          for (int64_t k = lo; k < hi; ++k) take.push_back(k);
+        } else {
+          std::vector<int64_t> idx(deg);
+          for (int64_t k = 0; k < deg; ++k) idx[k] = k;
+          for (int64_t k = 0; k < fanout; ++k) {
+            std::uniform_int_distribution<int64_t> dist(k, deg - 1);
+            std::swap(idx[k], idx[dist(rng)]);
+            take.push_back(lo + idx[k]);
+          }
+        }
+        const int64_t dst_local = local[dt].find(dst)->second;
+        for (int64_t k : take) {
+          const int64_t src = row[k];
+          auto it = local[st].find(src);
+          int64_t src_local;
+          if (it == local[st].end()) {
+            if (out_node_counts[st] >= node_cap) return -1;
+            src_local = out_node_counts[st];
+            local[st].emplace(src, src_local);
+            out_nodes[st * node_cap + out_node_counts[st]++] = src;
+            next[st].push_back(src);
+          } else {
+            src_local = it->second;
+          }
+          int64_t& ec = out_edge_counts[e];
+          if (ec >= edge_cap) return -1;
+          out_rows[e * edge_cap + ec] = src_local;
+          out_cols[e * edge_cap + ec] = dst_local;
+          out_edges[e * edge_cap + ec] = eperm[k];
+          ++ec;
+        }
+      }
+    }
+    frontier.swap(next);
+  }
+  return 0;
+}
+
+}  // extern "C"

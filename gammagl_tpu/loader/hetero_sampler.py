@@ -19,9 +19,10 @@ __all__ = ["HeteroNeighborSampler", "HeteroNeighborLoader"]
 class HeteroNeighborSampler:
     def __init__(self, hetero_graph: HeteroGraph,
                  num_neighbors: Union[Sequence[int], Dict],
-                 seed=None):
+                 seed=None, use_ext=True):
         self.graph = hetero_graph
         self.edge_types = hetero_graph.edge_types
+        self.node_types = hetero_graph.node_types
         if not isinstance(num_neighbors, dict):
             num_neighbors = {et: list(num_neighbors)
                              for et in self.edge_types}
@@ -36,10 +37,60 @@ class HeteroNeighborSampler:
             order = np.argsort(ei[1], kind="stable")
             self._csc[et] = (ind2ptr_np(ei[1][order], n_dst),
                              ei[0][order], order)
+        self._ext = None
+        if use_ext:
+            from gammagl_tpu import csrc
+            if csrc.available():
+                self._ext = csrc
 
     def sample_from_nodes(self, seed_dict: Dict[str, np.ndarray]):
         """seed_dict: node-type -> seed ids. Returns (node_dict, row_dict,
         col_dict, edge_dict, batch_size_dict)."""
+        if self._ext is not None:
+            return self._sample_ext(seed_dict)
+        return self._sample_np(seed_dict)
+
+    def _sample_ext(self, seed_dict):
+        nt_index = {nt: i for i, nt in enumerate(self.node_types)}
+        csc = [self._csc[et] for et in self.edge_types]
+        et_src = [nt_index[et[0]] for et in self.edge_types]
+        et_dst = [nt_index[et[2]] for et in self.edge_types]
+        fanouts = np.zeros((self.num_hops, len(self.edge_types)), np.int64)
+        for j, et in enumerate(self.edge_types):
+            fo = self.num_neighbors[et]
+            fanouts[:len(fo), j] = fo
+        seeds, stypes = [], []
+        for nt, ids in seed_dict.items():
+            for s in np.asarray(ids):
+                seeds.append(int(s))
+                stypes.append(nt_index[nt])
+        # generous caps: seeds expanded by total fanout per hop
+        cap = len(seeds)
+        for h in range(self.num_hops):
+            cap *= 1 + int(np.maximum(fanouts[h], 0).sum())
+        node_cap = min(cap + 1,
+                       sum((self.graph[nt].num_nodes or 0)
+                           for nt in self.node_types) + len(seeds) + 1)
+        edge_cap = max(1, min(
+            cap * max(1, int(fanouts.max())),
+            max(len(c[1]) for c in csc) + 1))
+        nodes, ncnt, rows, cols, edges, ecnt = \
+            self._ext.hetero_neighbor_sample_c(
+                csc, et_src, et_dst, fanouts, seeds, stypes,
+                len(self.node_types),
+                int(self.rng.integers(0, 2 ** 63)), node_cap, edge_cap)
+        node_d = {nt: nodes[i, :ncnt[i]]
+                  for i, nt in enumerate(self.node_types)}
+        row_d = {et: rows[j, :ecnt[j]]
+                 for j, et in enumerate(self.edge_types)}
+        col_d = {et: cols[j, :ecnt[j]]
+                 for j, et in enumerate(self.edge_types)}
+        eid_d = {et: edges[j, :ecnt[j]]
+                 for j, et in enumerate(self.edge_types)}
+        return (node_d, row_d, col_d, eid_d,
+                {nt: len(v) for nt, v in seed_dict.items()})
+
+    def _sample_np(self, seed_dict: Dict[str, np.ndarray]):
         local = {nt: {} for nt in self.graph.node_types}
         nodes = {nt: [] for nt in self.graph.node_types}
         for nt, seeds in seed_dict.items():

@@ -69,3 +69,30 @@ def test_saint_subgraph_c():
     assert len(rows) == 3
     pairs = set(zip(rows.tolist(), cols.tolist()))
     assert pairs == {(0, 1), (1, 2), (0, 2)}
+
+
+def test_hetero_neighbor_sample_c_structure():
+    from gammagl_tpu.data import HeteroGraph
+    from gammagl_tpu.loader import HeteroNeighborSampler
+    rng = np.random.default_rng(0)
+    hg = HeteroGraph()
+    hg["p"].x = rng.normal(size=(30, 4)).astype(np.float32)
+    hg["a"].x = rng.normal(size=(20, 4)).astype(np.float32)
+    hg[("a", "w", "p")].edge_index = np.stack(
+        [rng.integers(0, 20, 60), rng.integers(0, 30, 60)])
+    hg[("p", "c", "p")].edge_index = np.stack(
+        [rng.integers(0, 30, 50), rng.integers(0, 30, 50)])
+    s_ext = HeteroNeighborSampler(hg, [3, 2], seed=0, use_ext=True)
+    s_np = HeteroNeighborSampler(hg, [3, 2], seed=0, use_ext=False)
+    assert s_ext._ext is not None and s_np._ext is None
+    for s in (s_ext, s_np):
+        node_d, row_d, col_d, eid_d, bs = s.sample_from_nodes(
+            {"p": np.arange(5)})
+        assert bs["p"] == 5
+        assert (node_d["p"][:5] == np.arange(5)).all()
+        for et in row_d:
+            ei = np.asarray(hg[et].edge_index)
+            src_t, _, dst_t = et
+            for r, c, e in zip(row_d[et], col_d[et], eid_d[et]):
+                assert ei[0, e] == node_d[src_t][r]
+                assert ei[1, e] == node_d[dst_t][c]
