@@ -20,7 +20,8 @@ class GCNConv(MessagePassing):
     add_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, edge_index, edge_weight=None, num_nodes=None):
+    def __call__(self, x, edge_index, edge_weight=None, num_nodes=None,
+                 plan=None):
         if self.norm not in ("left", "right", "both", "none"):
             raise ValueError(f"invalid norm {self.norm!r}")
         if num_nodes is None:
@@ -44,7 +45,7 @@ class GCNConv(MessagePassing):
                              0.0)
             weights = weights * norm[dst]
         out = self.propagate(x, edge_index, edge_weight=weights,
-                             num_nodes=num_nodes)
+                             num_nodes=num_nodes, plan=plan)
         if self.add_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.out_channels,))

@@ -50,8 +50,16 @@ class MessagePassing(nn.Module):
         raise NotImplementedError(f"aggr {aggr!r} not supported")
 
     def message_aggregate(self, x, edge_index, edge_weight=None, aggr="sum",
-                          num_nodes=None):
-        """Fused path = SpMM (message_passing.py:94-107)."""
+                          num_nodes=None, plan=None):
+        """Fused path = SpMM (message_passing.py:94-107).
+
+        When a `CSRPlan`/`BlockedCSRPlan` (`Graph.csr_plan()`) is supplied
+        and aggr='sum', the Pallas MXU kernel is used -- the analog of the
+        reference's `use_ext` fast path.
+        """
+        if plan is not None and aggr == "sum":
+            from gammagl_tpu.ops.pallas import spmm_csr
+            return spmm_csr(x, edge_weight, plan)
         return spmm(edge_index, edge_weight, x, num_nodes=num_nodes,
                     reduce=aggr)
 
@@ -59,7 +67,7 @@ class MessagePassing(nn.Module):
         return x
 
     def propagate(self, x, edge_index, aggr="sum", edge_weight=None,
-                  num_nodes: Optional[int] = None, **kwargs):
+                  num_nodes: Optional[int] = None, plan=None, **kwargs):
         if num_nodes is None:
             num_nodes = x.shape[0]
         cls = type(self)
@@ -68,7 +76,7 @@ class MessagePassing(nn.Module):
         if fused:
             out = self.message_aggregate(x, edge_index,
                                          edge_weight=edge_weight, aggr=aggr,
-                                         num_nodes=num_nodes)
+                                         num_nodes=num_nodes, plan=plan)
         else:
             msg = self.message(x, edge_index, edge_weight=edge_weight,
                                **kwargs)

@@ -174,3 +174,27 @@ def test_jumping_knowledge(tiny):
     np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 3)
     out, _ = _init_run(JumpingKnowledge(mode="att"), xs)
     assert out.shape == (4, 4)
+
+
+def test_gcn_conv_with_pallas_plan(tiny):
+    """Plan-accelerated propagate must match the XLA path."""
+    import jax as _jax
+    from gammagl_tpu.ops.pallas import build_csr_plan
+    x, ei = tiny
+    ei_np = np.asarray(ei)
+    plan = build_csr_plan(ei_np[0], ei_np[1], 4, R=8, ET=16)
+    conv = GCNConv(out_channels=3)
+    params = conv.init(_jax.random.PRNGKey(0), x, ei)
+    ref = conv.apply(params, x, ei)
+    # interpret mode on CPU exercises the same kernel logic
+    import gammagl_tpu.ops.pallas.segment_matmul as sm
+    orig = sm._segment_matmul_pallas
+    if _jax.default_backend() != "tpu":
+        sm_interp = lambda m, w, p, interpret=False: orig(m, w, p, True)
+        sm._segment_matmul_pallas = sm_interp
+    try:
+        out = conv.apply(params, x, ei, plan=plan)
+    finally:
+        sm._segment_matmul_pallas = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
