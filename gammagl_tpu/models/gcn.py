@@ -18,12 +18,12 @@ class GCNModel(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_index, edge_weight=None, num_nodes=None,
-                 train=False):
+                 train=False, plan=None):
         drop = nn.Dropout(self.drop_rate, deterministic=not train)
         for _ in range(self.num_layers - 1):
             x = GCNConv(self.hidden_dim, norm=self.norm)(
-                x, edge_index, edge_weight, num_nodes)
+                x, edge_index, edge_weight, num_nodes, plan=plan)
             x = nn.relu(x)
             x = drop(x)
         return GCNConv(self.num_class, norm=self.norm)(
-            x, edge_index, edge_weight, num_nodes)
+            x, edge_index, edge_weight, num_nodes, plan=plan)

@@ -109,7 +109,7 @@ class SIGN(BaseTransform):
         ei = np.asarray(data.edge_index)
         n = data.num_nodes
         deg = np.bincount(ei[1], minlength=n).astype(np.float32)
-        dis = np.where(deg > 0, deg ** -0.5, 0.0)
+        dis = np.where(deg > 0, np.where(deg > 0, deg, 1.0) ** -0.5, 0.0)
         w = dis[ei[0]] * dis[ei[1]]
         x = np.asarray(data.x, np.float32)
         for k in range(1, self.K + 1):
