@@ -50,16 +50,37 @@ def main(args):
     model = GraphSAGESampleModel(hidden_dim=args.hidden_dim,
                                  num_class=num_classes, num_layers=2,
                                  drop_rate=args.drop_rate)
+
+    from functools import partial
+    from gammagl_tpu.data.padding import size_bucket
+
+    def pad_batch(bs, n_id, adjs):
+        """Bucket-pad blocks so jit compiles once per bucket: padded edges
+        point dst to the (bucketed) size_dst -> scatter-dropped; padded
+        node ids repeat the last real id (harmless gathers)."""
+        n_pad = size_bucket(len(n_id))
+        n_id_p = np.full(n_pad, n_id[-1], dtype=n_id.dtype)
+        n_id_p[:len(n_id)] = n_id
+        eis, sizes = [], []
+        for i, a in enumerate(adjs):
+            size_dst = bs if i == len(adjs) - 1 else size_bucket(a.size[1])
+            e_pad = size_bucket(a.edge_index.shape[1])
+            ei = np.full((2, e_pad), size_dst, dtype=np.int64)
+            ei[:, :a.edge_index.shape[1]] = a.edge_index
+            eis.append(jnp.asarray(ei))
+            sizes.append(size_dst)
+        return jnp.asarray(x_all[n_id_p]), eis, tuple(sizes)
+
     bs, n_id, adjs = loader.sample(train_idx[:args.batch_size])
-    feats = jnp.asarray(x_all[n_id])
-    model_adjs = [(jnp.asarray(a.edge_index), a.size[1]) for a in adjs]
+    feats, eis, sizes = pad_batch(bs, n_id, adjs)
     key = jax.random.PRNGKey(args.seed)
-    params = model.init({"params": key, "dropout": key}, feats, model_adjs)
+    params = model.init({"params": key, "dropout": key}, feats,
+                        list(zip(eis, sizes)))
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
-    def train_step(state, feats, model_adjs, y, rng):
-        # adjs have data-dependent shapes; jit would recompile per batch --
-        # for production use padded budgets (sample_neighbors_padded)
+    @partial(jax.jit, static_argnames=("sizes",))
+    def train_step(state, feats, eis, sizes, y, rng):
+        model_adjs = list(zip(eis, sizes))
         def loss_fn(p):
             logits = model.apply(p, feats, model_adjs, train=True,
                                  rngs={"dropout": rng})
@@ -74,19 +95,19 @@ def main(args):
         t0 = time.time()
         tot_loss = tot_correct = tot = 0
         for bs, n_id, adjs in loader:
-            feats = jnp.asarray(x_all[n_id])
-            model_adjs = [(jnp.asarray(a.edge_index), a.size[1])
-                          for a in adjs]
+            if bs < args.batch_size:
+                continue  # keep the last-hop size static
+            feats, eis, sizes = pad_batch(bs, n_id, adjs)
             y = jnp.asarray(y_all[n_id[:bs]])
             rng, step_rng = jax.random.split(rng)
-            state, loss, logits = train_step(state, feats, model_adjs, y,
+            state, loss, logits = train_step(state, feats, eis, sizes, y,
                                              step_rng)
             tot_loss += float(loss) * bs
             tot_correct += float((jnp.argmax(logits, -1) == y).sum())
             tot += bs
         print(f"epoch {epoch} loss {tot_loss / tot:.4f} "
               f"train acc {tot_correct / tot:.4f} "
-              f"({time.time() - t0:.1f}s)")
+              f"({time.time() - t0:.1f}s)", flush=True)
 
 
 if __name__ == "__main__":
