@@ -24,26 +24,42 @@ class GATConv(MessagePassing):
     add_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, edge_index, num_nodes=None, train=False):
+    def __call__(self, x, edge_index, num_nodes=None, train=False,
+                 plan=None):
         H, F = self.heads, self.out_channels
         if num_nodes is None:
             num_nodes = x.shape[0]
         w = self.param("w", nn.initializers.truncated_normal(0.02),
                        (x.shape[-1], H * F))
         x = (x @ w).reshape(-1, H, F)
-        src, dst = edge_index[0], edge_index[1]
         att = self.param("att", nn.initializers.truncated_normal(0.02),
                          (1, H, 2 * F))
-        feat = jnp.concatenate(
-            [jnp.take(x, src, axis=0, mode="clip"),
-             jnp.take(x, dst, axis=0, mode="clip")], axis=-1)
-        e = jnp.sum(feat * att, axis=-1)  # (E, H)
-        e = nn.leaky_relu(e, self.negative_slope)
-        alpha = segment_softmax(e, dst, num_nodes)
-        if self.dropout_rate > 0:
-            alpha = nn.Dropout(self.dropout_rate, deterministic=not train)(
-                alpha)
-        out = bspmm(edge_index, alpha, x, num_nodes=num_nodes)
+        if plan is not None:
+            # Pallas fast path: whole attention pipeline in plan order
+            from gammagl_tpu.ops.pallas.attention import (
+                bspmm_csr, plan_gather_dst, plan_gather_src,
+                segment_softmax_padded)
+            feat = jnp.concatenate([plan_gather_src(x, plan),
+                                    plan_gather_dst(x, plan)], axis=-1)
+            e = nn.leaky_relu(jnp.sum(feat * att, axis=-1),
+                              self.negative_slope)
+            alpha = segment_softmax_padded(e, plan)
+            if self.dropout_rate > 0:
+                alpha = nn.Dropout(self.dropout_rate,
+                                   deterministic=not train)(alpha)
+            out = bspmm_csr(x, alpha, plan)
+        else:
+            src, dst = edge_index[0], edge_index[1]
+            feat = jnp.concatenate(
+                [jnp.take(x, src, axis=0, mode="clip"),
+                 jnp.take(x, dst, axis=0, mode="clip")], axis=-1)
+            e = jnp.sum(feat * att, axis=-1)  # (E, H)
+            e = nn.leaky_relu(e, self.negative_slope)
+            alpha = segment_softmax(e, dst, num_nodes)
+            if self.dropout_rate > 0:
+                alpha = nn.Dropout(self.dropout_rate,
+                                   deterministic=not train)(alpha)
+            out = bspmm(edge_index, alpha, x, num_nodes=num_nodes)
         if self.concat:
             out = out.reshape(-1, H * F)
         else:

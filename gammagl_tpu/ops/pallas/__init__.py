@@ -9,7 +9,14 @@ from gammagl_tpu.ops.pallas.segment_matmul import (  # noqa: F401
     spmm_csr,
     pad_edge_weights,
 )
+from gammagl_tpu.ops.pallas.attention import (  # noqa: F401
+    plan_gather_src,
+    plan_gather_dst,
+    segment_softmax_padded,
+    bspmm_csr,
+)
 
 __all__ = ["CSRPlan", "BlockedCSRPlan", "build_csr_plan",
            "build_csr_plan_blocked", "segment_sum_csr", "spmm_csr",
-           "pad_edge_weights"]
+           "pad_edge_weights", "plan_gather_src", "plan_gather_dst",
+           "segment_softmax_padded", "bspmm_csr"]
