@@ -16,6 +16,8 @@ from gammagl_tpu.layers.conv.wave2_convs import (PNAConv, FILMConv,
                                                  DNAConv, HypergraphConv)
 from gammagl_tpu.layers.conv.hetero_wave2 import (HPNConv, ieHGCNConv,
                                                   HidConv, RoheHANConv)
+from gammagl_tpu.layers.conv.wave7_convs import (DHNConv, HEATConv,
+                                                 CoEDConv)
 
 __all__ = [
     "MessagePassing",
@@ -50,4 +52,7 @@ __all__ = [
     "ieHGCNConv",
     "HidConv",
     "RoheHANConv",
+    "DHNConv",
+    "HEATConv",
+    "CoEDConv",
 ]
