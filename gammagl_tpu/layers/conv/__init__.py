@@ -19,6 +19,9 @@ from gammagl_tpu.layers.conv.hetero_wave2 import (HPNConv, ieHGCNConv,
 from gammagl_tpu.layers.conv.wave7_convs import (DHNConv, HEATConv,
                                                  CoEDConv)
 
+from gammagl_tpu.layers.conv.rgt_layers import (ConstCurveLinear, ConstCurveAgg, EuclideanEncoder, ManifoldEncoder)
+from gammagl_tpu.layers.conv.rgt_vq import VectorQuantizeE, VectorQuantizeR
+
 __all__ = [
     "MessagePassing",
     "GCNConv",
@@ -55,4 +58,10 @@ __all__ = [
     "DHNConv",
     "HEATConv",
     "CoEDConv",
+    "ConstCurveLinear",
+    "ConstCurveAgg",
+    "EuclideanEncoder",
+    "ManifoldEncoder",
+    "VectorQuantizeE",
+    "VectorQuantizeR",
 ]

@@ -13,6 +13,8 @@ from gammagl_tpu.loader.hetero_sampler import (HeteroNeighborSampler,
                                                HeteroNeighborLoader)
 from gammagl_tpu.loader.prefetch import PrefetchLoader, prefetch_to_device
 
+from gammagl_tpu.loader.rgt_loader import (ExtractNodeLoader, ExtractLinkLoader, build_structure_batch)
+
 __all__ = [
     "DataLoader",
     "Collater",
@@ -32,4 +34,7 @@ __all__ = [
     "HeteroNeighborLoader",
     "PrefetchLoader",
     "prefetch_to_device",
+    "ExtractNodeLoader",
+    "ExtractLinkLoader",
+    "build_structure_batch",
 ]
