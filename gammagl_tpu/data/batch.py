@@ -48,6 +48,10 @@ class BatchGraph(Graph):
             batch_vec.append(np.full(n, i, dtype=np.int64))
             for k in keys:
                 v = np.asarray(g[k])
+                if v.ndim == 0:
+                    # graph-level scalar (class label, category id):
+                    # stack to one row per graph
+                    v = v.reshape(1)
                 inc = incs[k][-1]
                 if g.__inc__(k) != 0:
                     v = v + inc

@@ -63,6 +63,7 @@ class HeteroGraph:
     def __init__(self, mapping=None, **kwargs):
         object.__setattr__(self, "_node_stores", {})
         object.__setattr__(self, "_edge_stores", {})
+        object.__setattr__(self, "_globals", {})
         if mapping:
             for k, v in mapping.items():
                 for a, b in v.items():
@@ -71,7 +72,14 @@ class HeteroGraph:
             for a, b in v.items():
                 self[k][a] = b
 
+    def __setitem__(self, key, value):
+        """Graph-level attribute (reference heterograph stores e.g. nested
+        train/val/test sub-HeteroGraphs: datasets/acm4dhn.py)."""
+        self._globals[key] = value
+
     def __getitem__(self, key) -> _Store:
+        if not isinstance(key, tuple) and key in self._globals:
+            return self._globals[key]
         key = _norm_edge_key(key)
         if isinstance(key, tuple):
             if key not in self._edge_stores:

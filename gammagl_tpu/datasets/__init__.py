@@ -20,6 +20,8 @@ from gammagl_tpu.datasets.wave3_datasets import (ACM4HeCo, Bail, Credit,
                                                  AMiner, MoleculeNet,
                                                  MovieLens, CustomDataset)
 
+from gammagl_tpu.datasets.wave4_datasets import (ModelNet40, ShapeNet, NGSIM_US_101, ACM4DHN, ACM4Rohe, ADDataset, AliRCD)
+
 __all__ = [
     "Planetoid",
     "Amazon",
@@ -54,4 +56,11 @@ __all__ = [
     "MoleculeNet",
     "MovieLens",
     "CustomDataset",
+    "ModelNet40",
+    "ShapeNet",
+    "NGSIM_US_101",
+    "ACM4DHN",
+    "ACM4Rohe",
+    "ADDataset",
+    "AliRCD",
 ]

@@ -13,6 +13,7 @@ from gammagl_tpu.loader.hetero_sampler import (HeteroNeighborSampler,
                                                HeteroNeighborLoader)
 from gammagl_tpu.loader.prefetch import PrefetchLoader, prefetch_to_device
 
+from gammagl_tpu.loader.feature_cache import (DeviceFeatureCache, ShardedFeatureStore)
 from gammagl_tpu.loader.rgt_loader import (ExtractNodeLoader, ExtractLinkLoader, build_structure_batch)
 
 __all__ = [
@@ -37,4 +38,6 @@ __all__ = [
     "ExtractNodeLoader",
     "ExtractLinkLoader",
     "build_structure_batch",
+    "DeviceFeatureCache",
+    "ShardedFeatureStore",
 ]

@@ -1,0 +1,143 @@
+"""Device-resident feature caches — the gglspeedup capability tier.
+
+Reference: gammagl/gglspeedup/{gpufeature.py,multifeat.py,sharedfeat.py}.
+The reference keeps the degree-hottest rows of the feature matrix in GPU
+memory within a byte budget ("0.1G"), serves the rest from pinned CPU memory
+via UVA, and shares caches across GPUs with CUDA IPC handles
+(multifeat.py:85-113).
+
+TPU re-design:
+- `DeviceFeatureCache` — the single-chip analog: hottest rows (by degree or
+  any score) live in HBM as one dense jnp array; gathers on cached rows run
+  on-device, misses fall back to a host numpy gather + `device_put` of only
+  the missing rows. Hit-rate statistics mirror the reference's budget
+  tuning workflow.
+- `ShardedFeatureStore` — the multi-chip analog of IPC sharing: the full
+  feature matrix is laid out row-sharded over a mesh axis with
+  `jax.device_put(x, NamedSharding(mesh, P("dp", None)))`; `gather(idx)`
+  runs as one jit'd take on the sharded array, letting XLA route
+  cross-device rows over ICI instead of host round-trips.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gammagl_tpu.data.feature_store import FeatureStore, TensorAttr
+
+__all__ = ["DeviceFeatureCache", "ShardedFeatureStore"]
+
+
+class DeviceFeatureCache:
+    """Hot-row HBM cache with host fallback (reference gpufeature.py:12-80).
+
+    Parameters
+    ----------
+    features : (N, F) host numpy array — the full feature matrix.
+    budget_rows : number of rows to pin in device memory. The reference
+        takes a byte budget string ("0.1G"); pass `budget_bytes` for that.
+    score : optional (N,) hotness score (degree). Defaults to uniform ->
+        first rows cached, matching the reference after its degree re-sort.
+    """
+
+    def __init__(self, features, budget_rows=None, budget_bytes=None,
+                 score=None, device=None):
+        self.features = np.asarray(features)
+        n, f = self.features.shape
+        if budget_rows is None:
+            if budget_bytes is None:
+                budget_rows = n
+            else:
+                if isinstance(budget_bytes, str):
+                    mult = {"K": 2**10, "M": 2**20, "G": 2**30}[
+                        budget_bytes[-1].upper()]
+                    budget_bytes = float(budget_bytes[:-1]) * mult
+                budget_rows = int(budget_bytes //
+                                  (f * self.features.dtype.itemsize))
+        self.budget_rows = min(budget_rows, n)
+        order = (np.argsort(-np.asarray(score))
+                 if score is not None else np.arange(n))
+        self.hot_ids = order[:self.budget_rows]
+        # global id -> cache slot; -1 = miss
+        self.slot_of = np.full(n, -1, np.int64)
+        self.slot_of[self.hot_ids] = np.arange(self.budget_rows)
+        self.device = device or jax.devices()[0]
+        self.hot = jax.device_put(
+            jnp.asarray(self.features[self.hot_ids]), self.device)
+        self.hits = 0
+        self.misses = 0
+
+    def __getitem__(self, idx):
+        """Gather rows by global index: cached rows from HBM, the rest
+        copied host->device (only the missing rows move)."""
+        idx = np.asarray(idx)
+        slots = self.slot_of[idx]
+        hit = slots >= 0
+        self.hits += int(hit.sum())
+        self.misses += int((~hit).sum())
+        out = jnp.take(self.hot, jnp.asarray(np.where(hit, slots, 0)),
+                       axis=0)
+        if (~hit).any():
+            cold = jax.device_put(
+                jnp.asarray(self.features[idx[~hit]]), self.device)
+            out = out.at[jnp.asarray(np.nonzero(~hit)[0])].set(cold)
+        return out
+
+    @property
+    def hit_rate(self):
+        total = self.hits + self.misses
+        return self.hits / total if total else 0.0
+
+
+class ShardedFeatureStore(FeatureStore):
+    """Feature matrix row-sharded over a mesh axis (the multi-host /
+    multi-chip analog of the reference's IPC-shared caches,
+    multifeat.py:10-113).
+
+    put_tensor shards over `axis`; get_tensor(index) gathers with one jit'd
+    take over the sharded array (ICI collectives inserted by XLA).
+    """
+
+    def __init__(self, mesh, axis="dp"):
+        super().__init__()
+        self.mesh = mesh
+        self.axis = axis
+        self._store = {}
+        self._gather = jax.jit(lambda x, i: jnp.take(x, i, axis=0,
+                                                     mode="clip"))
+
+    def _sharding(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return NamedSharding(self.mesh, P(self.axis, None))
+
+    def _key(self, attr):
+        return (attr.group_name or "", attr.attr_name or "x")
+
+    def _put_tensor(self, tensor, attr: TensorAttr) -> bool:
+        x = np.asarray(tensor)
+        n_shards = self.mesh.shape[self.axis]
+        pad = (-x.shape[0]) % n_shards
+        if pad:   # static per-shard row count
+            x = np.concatenate([x, np.zeros((pad,) + x.shape[1:],
+                                            x.dtype)])
+        self._store[self._key(attr)] = (
+            jax.device_put(jnp.asarray(x), self._sharding()),
+            x.shape[0] - pad)
+        return True
+
+    def _get_tensor(self, attr: TensorAttr):
+        entry = self._store.get(self._key(attr))
+        if entry is None:
+            return None
+        sharded, n = entry
+        if attr.index is None:
+            return sharded[:n] if n != sharded.shape[0] else sharded
+        return self._gather(sharded, jnp.asarray(attr.index))
+
+    def _remove_tensor(self, attr: TensorAttr) -> bool:
+        return self._store.pop(self._key(attr), None) is not None
+
+    def get_all_tensor_attrs(self):
+        return [TensorAttr(group_name=g, attr_name=a)
+                for g, a in self._store]

@@ -19,6 +19,7 @@ from gammagl_tpu.utils.misc import (homophily, get_laplacian,
 from gammagl_tpu.utils.shortest_path import shortest_path
 from gammagl_tpu.utils.smiles import from_smiles
 from gammagl_tpu.utils import manifold_math
+from gammagl_tpu.utils.unifews_log import (UniFewsLogger, ModelLogger, LayerNumLogger, F1Calculator, Stopwatch)
 from gammagl_tpu.utils import gfm_utils
 from gammagl_tpu.utils.conversation import (Conversation, conv_templates,
                                             get_conv_template)
@@ -58,6 +59,11 @@ __all__ = [
     "shortest_path",
     "from_smiles",
     "manifold_math",
+    "UniFewsLogger",
+    "ModelLogger",
+    "LayerNumLogger",
+    "F1Calculator",
+    "Stopwatch",
     "gfm_utils",
     "Conversation",
     "conv_templates",
