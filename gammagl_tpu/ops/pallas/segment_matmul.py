@@ -187,7 +187,10 @@ def _segment_matmul_pallas(msg, w_pad, plan, interpret=False):
                    + jnp.dot(oh_lo, m_hi,
                              preferred_element_type=jnp.float32))
         else:
-            onehot_w = jnp.where(sel, w_ref[0].astype(m.dtype), 0)
+            # select in f32 (Mosaic cannot relayout the i1 mask to bf16
+            # tiling), then cast exactly -- weights are bf16-representable
+            onehot_w = jnp.where(sel, w_ref[0].astype(jnp.float32),
+                                 0.0).astype(m.dtype)
             acc = jnp.dot(onehot_w, m, preferred_element_type=jnp.float32)
 
         @pl.when(tf_ref[t] == 1)

@@ -63,3 +63,17 @@ def test_spmm_csr_unweighted_and_grad():
                             interpret=INTERP) ** 2).sum())(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_spmm_csr_bfloat16():
+    """bf16 single-pass path (exercises the i1-mask f32-select workaround
+    in the kernel; headline bench dtype)."""
+    src, dst, w, x = _case(3, 24, 100, 8)
+    plan = build_csr_plan(src, dst, 24, R=8, ET=16)
+    xb = jnp.asarray(x, jnp.bfloat16)
+    wb = jnp.asarray(w, jnp.bfloat16)
+    ref = spmm(jnp.asarray(np.stack([src, dst])), wb, xb)
+    out = spmm_csr(xb, wb, plan, interpret=INTERP)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=0.1, atol=0.15)
