@@ -145,6 +145,8 @@ def _segment_matmul_pallas(msg, w_pad, plan, interpret=False):
            no separate validity mask is needed)
     Returns (nblocks*R, F).
     """
+    # auto-interpret off-TPU so library callers never thread the flag
+    interpret = interpret or jax.default_backend() != "tpu"
     R, ET, T = plan.R, plan.ET, plan.T
     E_pad, F = msg.shape
     assert E_pad == plan.E_pad, (E_pad, plan.E_pad)
