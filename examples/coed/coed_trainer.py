@@ -1,0 +1,28 @@
+"""CoED (co-evolved dual graph convolution) trainer.
+
+Reference flow: examples/coed/coed_trainer.py (dataset -> model -> Adam
+semi-supervised CE -> best-val test accuracy). TPU-native: the whole train
+step is one jit region; synthetic SBM fallback keeps the script runnable
+without downloads.
+
+Usage: python examples/coed/coed_trainer.py --dataset cora --lr 0.01
+"""
+
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), "..", ".."))
+
+from examples.common import base_parser, run_simple_node_trainer
+from gammagl_tpu.models import CoEDModel
+
+
+def main(args):
+    g_probe = None  # num_classes resolved inside the runner
+    model = CoEDModel(num_class=7, hidden_dim=args.hidden_dim, alpha=0.3, jumping_knowledge="cat")
+    return run_simple_node_trainer(model, args)
+
+
+if __name__ == "__main__":
+    args = base_parser(hidden_dim=16).parse_args()
+    main(args)

@@ -54,3 +54,56 @@ def device_graph(g):
             np.asarray(g.val_mask).shape[0], -1)[:, 0]),
         "test_mask": jnp.asarray(np.asarray(g.test_mask)),
     }
+
+
+def run_simple_node_trainer(model, args, forward_kwargs=None,
+                            loss_extra=None):
+    """Standard semi-supervised node-classification loop shared by the
+    simple full-batch trainers (reference examples/<model>/*_trainer.py all
+    follow this flow: dataset -> model -> Adam CE -> best-val test acc)."""
+    import optax
+    from gammagl_tpu.train import (TrainState, semi_supervised_loss,
+                                   accuracy)
+
+    g, num_classes = load_node_dataset(args.dataset, args.dataset_path)
+    d = device_graph(g)
+    x, ei, y = d["x"], d["edge_index"], d["y"]
+    fkw = forward_kwargs or {}
+
+    key = jax.random.PRNGKey(args.seed)
+    params = model.init({"params": key, "dropout": key}, x, ei, **fkw)
+    tx = optax.chain(optax.add_decayed_weights(args.l2_coef),
+                     optax.adam(args.lr))
+    state = TrainState.create(params=params, tx=tx)
+
+    @jax.jit
+    def train_step(state, rng):
+        def loss_fn(p):
+            logits = model.apply(p, x, ei, train=True,
+                                 rngs={"dropout": rng}, **fkw)
+            loss = semi_supervised_loss(logits, y, d["train_mask"])
+            if loss_extra is not None:
+                loss = loss + loss_extra(p)
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    @jax.jit
+    def evaluate(state):
+        logits = model.apply(state.params, x, ei, **fkw)
+        return (accuracy(logits, y, d["val_mask"]),
+                accuracy(logits, y, d["test_mask"]))
+
+    best_val, best_test = 0.0, 0.0
+    rng = jax.random.PRNGKey(args.seed + 1)
+    for epoch in range(args.n_epoch):
+        rng, sk = jax.random.split(rng)
+        state, loss = train_step(state, sk)
+        val_acc, test_acc = evaluate(state)
+        if float(val_acc) > best_val:
+            best_val, best_test = float(val_acc), float(test_acc)
+        if epoch % 20 == 0 or epoch == args.n_epoch - 1:
+            print(f"epoch {epoch:4d} loss {float(loss):.4f} "
+                  f"val {float(val_acc):.4f} test {float(test_acc):.4f}")
+    print(f"best val {best_val:.4f} -> test {best_test:.4f}")
+    return best_test

@@ -1,0 +1,39 @@
+"""FiLM (feature-wise linear modulation conv) trainer.
+
+Reference flow: examples/film/ in the reference repo (dataset -> model ->
+Adam semi-supervised CE). The model is assembled inline from the conv layer
+as the reference example does.
+
+Usage: python examples/film/film_trainer.py --dataset cora
+"""
+
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), "..", ".."))
+
+import flax.linen as nn
+from gammagl_tpu.layers.conv import FILMConv
+from examples.common import base_parser, run_simple_node_trainer
+
+
+class Net(nn.Module):
+    hidden_dim: int = 16
+    num_class: int = 7
+    drop_rate: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, edge_index, train=False):
+        drop = nn.Dropout(self.drop_rate, deterministic=not train)
+        x = nn.relu(FILMConv(out_channels=self.hidden_dim)(x, edge_index))
+        return FILMConv(out_channels=self.num_class)(drop(x), edge_index)
+
+
+def main(args):
+    model = Net(hidden_dim=args.hidden_dim, num_class=7,
+                drop_rate=args.drop_rate)
+    return run_simple_node_trainer(model, args)
+
+
+if __name__ == "__main__":
+    main(base_parser(hidden_dim=16).parse_args())
