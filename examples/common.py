@@ -107,3 +107,152 @@ def run_simple_node_trainer(model, args, forward_kwargs=None,
                   f"val {float(val_acc):.4f} test {float(test_acc):.4f}")
     print(f"best val {best_val:.4f} -> test {best_test:.4f}")
     return best_test
+
+
+def linear_probe(emb, d, num_classes, steps=300, lr=1e-2):
+    """Logistic-regression probe on frozen embeddings (the SSL examples'
+    shared evaluation protocol, reference examples/grace/ etc.)."""
+    import optax
+    from gammagl_tpu.train import semi_supervised_loss, accuracy
+    emb = emb / (jnp.linalg.norm(emb, axis=1, keepdims=True) + 1e-12)
+    w = jnp.zeros((emb.shape[1], num_classes))
+    opt = optax.adam(lr)
+    opt_state = opt.init(w)
+
+    @jax.jit
+    def step(w, opt_state):
+        loss, grads = jax.value_and_grad(
+            lambda w: semi_supervised_loss(emb @ w, d["y"],
+                                           d["train_mask"]))(w)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(w, updates), opt_state, loss
+
+    for _ in range(steps):
+        w, opt_state, _ = step(w, opt_state)
+    return float(accuracy(emb @ w, d["y"], d["test_mask"]))
+
+
+def run_two_view_ssl(model, args, embed_fn, num_views_args=6):
+    """Shared loop for two-augmented-view contrastive models whose apply
+    signature is (x1, ei, w1, x2, ei, w2) -> loss (GRACE family / MERIT /
+    GRADE / MAGCL / GCIL)."""
+    import optax
+    from gammagl_tpu.models import drop_edge_and_feature
+    from gammagl_tpu.train import TrainState
+
+    g, num_classes = load_node_dataset(args.dataset, args.dataset_path)
+    d = device_graph(g)
+    x, ei = d["x"], d["edge_index"]
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2 = jax.random.split(key)
+    x1, w1 = drop_edge_and_feature(k1, x, ei, 0.2, 0.2)
+    x2, w2 = drop_edge_and_feature(k2, x, ei, 0.3, 0.3)
+    params = model.init(key, x1, ei, w1, x2, ei, w2)
+    state = TrainState.create(params=params, tx=optax.adam(args.lr))
+
+    @jax.jit
+    def step(state, rng):
+        ka, kb = jax.random.split(rng)
+        xa, wa = drop_edge_and_feature(ka, x, ei, 0.2, 0.2)
+        xb, wb = drop_edge_and_feature(kb, x, ei, 0.3, 0.3)
+        loss, grads = jax.value_and_grad(
+            lambda p: model.apply(p, xa, ei, wa, xb, ei, wb))(state.params)
+        return state.apply_gradients(grads), loss
+
+    rng = jax.random.PRNGKey(args.seed + 1)
+    for epoch in range(args.n_epoch):
+        rng, k = jax.random.split(rng)
+        state, loss = step(state, k)
+        if epoch % 20 == 0 or epoch == args.n_epoch - 1:
+            print(f"pretrain {epoch:4d} loss {float(loss):.4f}")
+
+    emb = embed_fn(model, state.params, x, ei)
+    acc = linear_probe(emb, d, num_classes)
+    print(f"probe test acc {acc:.4f}")
+    return acc
+
+
+def synthetic_hetero(seed=0, n_m=200, n_d=60, c=3, f=32):
+    """Synthetic movie/director typed graph with class-correlated structure
+    (shared fallback for the hetero example trainers)."""
+    from gammagl_tpu.data import HeteroGraph
+    rng = np.random.default_rng(seed)
+    hg = HeteroGraph()
+    y = rng.integers(0, c, n_m)
+    x = rng.normal(size=(n_m, f)).astype(np.float32)
+    x[np.arange(n_m), y] += 2.0
+    hg["movie"].x = x
+    hg["movie"].y = y
+    hg["director"].x = rng.normal(size=(n_d, f)).astype(np.float32)
+    d_of = rng.integers(0, n_d // c, n_m) + (n_d // c) * y
+    hg[("director", "directs", "movie")].edge_index = np.stack(
+        [d_of, np.arange(n_m)])
+    hg[("movie", "by", "director")].edge_index = np.stack(
+        [np.arange(n_m), d_of])
+    mdm = []
+    for d in range(n_d):
+        ms = np.nonzero(d_of == d)[0]
+        for a in ms:
+            for b in ms:
+                mdm.append((a, b))
+    hg[("movie", "mdm", "movie")].edge_index = np.asarray(mdm).T
+    mask = np.zeros(n_m, bool)
+    mask[rng.permutation(n_m)[:n_m // 2]] = True
+    hg["movie"].train_mask = mask
+    hg["movie"].test_mask = ~mask
+    return hg, "movie"
+
+
+def run_hetero_trainer(make_model, args, dataset_loader=None):
+    """Shared loop for x_dict/edge_index_dict hetero node classifiers
+    (HAN/HGT/HPN/ieHGCN/RoheHAN). `make_model(metadata, num_classes,
+    target)` builds the flax module."""
+    import optax
+    from gammagl_tpu.train import TrainState, accuracy, semi_supervised_loss
+
+    hg, target = None, None
+    if dataset_loader is not None:
+        try:
+            hg, target = dataset_loader(args)
+        except Exception as e:
+            print(f"[warn] dataset unavailable ({e}); synthetic typed graph")
+    if hg is None:
+        hg, target = synthetic_hetero()
+    hg = hg.tensor() if hasattr(hg, "tensor") else hg
+    x_dict = hg.x_dict
+    ei_dict = hg.edge_index_dict
+    y = jnp.asarray(np.asarray(hg[target].y))
+    num_classes = int(np.asarray(y).max()) + 1
+    train_mask = jnp.asarray(np.asarray(hg[target].train_mask))
+    test_mask = jnp.asarray(np.asarray(hg[target].test_mask))
+
+    model = make_model(hg.metadata(), num_classes, target)
+    import inspect
+    has_train = "train" in inspect.signature(model.__call__).parameters
+    tkw = {"train": True} if has_train else {}
+    key = jax.random.PRNGKey(args.seed)
+    params = model.init({"params": key, "dropout": key}, x_dict, ei_dict)
+    state = TrainState.create(params=params, tx=optax.adam(args.lr))
+
+    @jax.jit
+    def step(state, rng):
+        def loss_fn(p):
+            logits = model.apply(p, x_dict, ei_dict,
+                                 rngs={"dropout": rng}, **tkw)
+            return semi_supervised_loss(logits, y, train_mask)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    rng = jax.random.PRNGKey(args.seed + 1)
+    for epoch in range(args.n_epoch):
+        rng, k = jax.random.split(rng)
+        state, loss = step(state, k)
+        if epoch % 10 == 0 or epoch == args.n_epoch - 1:
+            acc = accuracy(model.apply(state.params, x_dict, ei_dict), y,
+                           test_mask)
+            print(f"epoch {epoch:3d} loss {float(loss):.4f} "
+                  f"test {float(acc):.4f}")
+    acc = float(accuracy(model.apply(state.params, x_dict, ei_dict), y,
+                         test_mask))
+    print(f"final test acc {acc:.4f}")
+    return acc
