@@ -15,7 +15,8 @@ import threading
 
 import numpy as np
 
-__all__ = ["get_lib", "available", "neighbor_sample_c", "random_walk_c",
+__all__ = ["get_lib", "available", "neighbor_sample_c",
+           "neighbor_sample_many_c", "random_walk_c",
            "saint_subgraph_c", "ind2ptr_c", "ptr2ind_c",
            "hetero_neighbor_sample_c"]
 
@@ -30,8 +31,8 @@ _I64 = ctypes.POINTER(ctypes.c_int64)
 
 
 def _build():
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o",
-           _LIB_PATH, _SRC]
+    cmd = ["g++", "-O3", "-std=c++17", "-fopenmp", "-shared",
+           "-fPIC", "-o", _LIB_PATH, _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -43,6 +44,11 @@ def _declare(lib):
         _I64, _I64, _I64, _I64, ctypes.c_int64, _I64, ctypes.c_int64,
         ctypes.c_int, ctypes.c_uint64, ctypes.c_int64, ctypes.c_int64,
         _I64, _I64, _I64, _I64, _I64, _I64, _I64, _I64]
+    lib.neighbor_sample_many.argtypes = [
+        _I64, _I64, _I64, _I64, _I64, ctypes.c_int64, _I64,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_uint64, ctypes.c_int64,
+        ctypes.c_int64, _I64, _I64, _I64, _I64, _I64, _I64, _I64, _I64,
+        _I64]
     lib.random_walk.argtypes = [_I64, _I64, _I64, ctypes.c_int64,
                                 ctypes.c_int64, ctypes.c_uint64, _I64]
     lib.saint_subgraph.restype = ctypes.c_int64
@@ -139,6 +145,56 @@ def neighbor_sample_c(colptr, row, edge_perm, seeds, fanouts, replace,
     nn, ne = int(n_nodes[0]), int(n_edges[0])
     return (nodes[:nn], rows[:ne], cols[:ne], edges[:ne],
             hop_nodes.tolist(), hop_edges.tolist())
+
+
+def neighbor_sample_many_c(colptr, row, edge_perm, seed_batches, fanouts,
+                           replace, rng_seed):
+    """Batch-parallel sampling: `seed_batches` is a list of seed arrays.
+    Returns a list of (nodes, rows, cols, edges, hop_nodes, hop_edges)
+    tuples — one per batch, sampled concurrently with OpenMP threads."""
+    lib = get_lib()
+    colptr, row = _as_i64(colptr), _as_i64(row)
+    edge_perm = _as_i64(edge_perm)
+    fanouts = _as_i64(fanouts)
+    B = len(seed_batches)
+    seeds = _as_i64(np.concatenate([np.asarray(b) for b in seed_batches]))
+    seeds_ptr = _as_i64(np.cumsum([0] + [len(b) for b in seed_batches]))
+    max_seeds = max(len(b) for b in seed_batches)
+    cap = max_seeds
+    for f in fanouts:
+        cap = cap * (1 + (int(f) if f >= 0 else 0))
+    node_cap = min(max(cap, max_seeds + 1), len(colptr) - 1 + max_seeds)
+    if (fanouts < 0).any():
+        node_cap = len(colptr) - 1 + max_seeds
+    edge_cap = max(node_cap * max(
+        [int(f) for f in fanouts if f >= 0] + [1]), 1)
+    H = len(fanouts)
+    nodes = np.empty(B * node_cap, np.int64)
+    rows = np.empty(B * edge_cap, np.int64)
+    cols = np.empty(B * edge_cap, np.int64)
+    edges = np.empty(B * edge_cap, np.int64)
+    n_nodes = np.zeros(B, np.int64)
+    n_edges = np.zeros(B, np.int64)
+    hop_nodes = np.zeros(B * (H + 1), np.int64)
+    hop_edges = np.zeros(B * H, np.int64)
+    status = np.zeros(B, np.int64)
+    lib.neighbor_sample_many(
+        _p(colptr), _p(row), _p(edge_perm), _p(seeds), _p(seeds_ptr), B,
+        _p(fanouts), H, int(replace), rng_seed, node_cap, edge_cap,
+        _p(nodes), _p(rows), _p(cols), _p(edges), _p(n_nodes),
+        _p(n_edges), _p(hop_nodes), _p(hop_edges), _p(status))
+    if (status != 0).any():
+        raise RuntimeError("neighbor_sample_many capacity exceeded")
+    out = []
+    for b in range(B):
+        nn, ne = int(n_nodes[b]), int(n_edges[b])
+        out.append((nodes[b * node_cap:b * node_cap + nn],
+                    rows[b * edge_cap:b * edge_cap + ne],
+                    cols[b * edge_cap:b * edge_cap + ne],
+                    edges[b * edge_cap:b * edge_cap + ne],
+                    hop_nodes[b * (H + 1):(b + 1) * (H + 1)].tolist(),
+                    hop_edges[b * H:(b + 1) * H].tolist()))
+    return out
 
 
 def random_walk_c(rowptr, col, starts, walk_length, rng_seed):

@@ -12,6 +12,9 @@
 // device transfer.
 
 #include <cstdint>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 #include <cstring>
 #include <random>
 #include <unordered_map>
@@ -161,6 +164,40 @@ int64_t saint_subgraph(const int64_t* rowptr, const int64_t* col,
     }
   }
   return n_edges;
+}
+
+// Batch-parallel neighbor sampling: B independent seed batches sampled
+// concurrently (OpenMP), each with its own relabel map and RNG stream.
+// seeds are flattened with seeds_ptr (length B+1); every output array is
+// strided by the per-batch capacity. out_status[b] = 0 ok / -1 overflow.
+// Replaces the reference's process-pool DataLoader workers
+// (gammagl/loader/utils.py DataLoaderIter) with shared-memory threads.
+void neighbor_sample_many(const int64_t* colptr, const int64_t* row,
+                          const int64_t* edge_perm,
+                          const int64_t* seeds, const int64_t* seeds_ptr,
+                          int64_t num_batches,
+                          const int64_t* fanouts, int64_t num_hops,
+                          int replace, uint64_t rng_seed,
+                          int64_t node_cap, int64_t edge_cap,
+                          int64_t* out_nodes, int64_t* out_rows,
+                          int64_t* out_cols, int64_t* out_edges,
+                          int64_t* out_num_nodes, int64_t* out_num_edges,
+                          int64_t* hop_nodes, int64_t* hop_edges,
+                          int64_t* out_status) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int64_t b = 0; b < num_batches; ++b) {
+    const int64_t lo = seeds_ptr[b], hi = seeds_ptr[b + 1];
+    out_status[b] = neighbor_sample(
+        colptr, row, edge_perm, seeds + lo, hi - lo, fanouts, num_hops,
+        replace, rng_seed + static_cast<uint64_t>(b) * 0x9E3779B97F4A7C15ull,
+        node_cap, edge_cap,
+        out_nodes + b * node_cap, out_rows + b * edge_cap,
+        out_cols + b * edge_cap, out_edges + b * edge_cap,
+        out_num_nodes + b, out_num_edges + b,
+        hop_nodes + b * (num_hops + 1), hop_edges + b * num_hops);
+  }
 }
 
 }  // extern "C"

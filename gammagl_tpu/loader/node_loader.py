@@ -33,7 +33,8 @@ def filter_graph(graph, sampler_out):
 
 class NodeLoader:
     def __init__(self, graph, sampler, input_nodes=None, batch_size=1,
-                 shuffle=False, drop_last=False, seed=None):
+                 shuffle=False, drop_last=False, seed=None,
+                 presample_chunks=1):
         self.graph = graph
         self.sampler = sampler
         if input_nodes is None:
@@ -46,6 +47,9 @@ class NodeLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        # >1: sample that many batches concurrently per call (OpenMP in
+        # the native sampler) -- the gglspeedup-tier throughput knob
+        self.presample_chunks = presample_chunks
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -57,12 +61,22 @@ class NodeLoader:
         order = self.input_nodes.copy()
         if self.shuffle:
             self.rng.shuffle(order)
+        seed_batches = []
         for lo in range(0, len(order), self.batch_size):
             seeds = order[lo:lo + self.batch_size]
             if self.drop_last and len(seeds) < self.batch_size:
-                return
-            out = self.sampler.sample_from_nodes(seeds)
-            yield filter_graph(self.graph, out)
+                break
+            seed_batches.append(seeds)
+        if self.presample_chunks > 1 and hasattr(
+                self.sampler, "sample_from_nodes_many"):
+            for lo in range(0, len(seed_batches), self.presample_chunks):
+                chunk = seed_batches[lo:lo + self.presample_chunks]
+                for out in self.sampler.sample_from_nodes_many(chunk):
+                    yield filter_graph(self.graph, out)
+        else:
+            for seeds in seed_batches:
+                out = self.sampler.sample_from_nodes(seeds)
+                yield filter_graph(self.graph, out)
 
 
 class NodeNeighborLoader(NodeLoader):
@@ -70,9 +84,10 @@ class NodeNeighborLoader(NodeLoader):
     (reference node_neighbor_loader.py:10)."""
 
     def __init__(self, graph, num_neighbors, input_nodes=None, batch_size=1,
-                 shuffle=False, replace=False, drop_last=False, seed=None):
+                 shuffle=False, replace=False, drop_last=False, seed=None,
+                 presample_chunks=1):
         sampler = NeighborSampler(np.asarray(graph.edge_index),
                                   graph.num_nodes, num_neighbors,
                                   replace=replace, seed=seed)
         super().__init__(graph, sampler, input_nodes, batch_size, shuffle,
-                         drop_last, seed)
+                         drop_last, seed, presample_chunks)

@@ -87,6 +87,22 @@ class NeighborSampler:
                              num_sampled_nodes=hop_nodes,
                              num_sampled_edges=hop_edges)
 
+    def sample_from_nodes_many(self, seed_batches):
+        """Sample several independent seed batches concurrently (OpenMP
+        threads in the C++ core — the shared-memory replacement for the
+        reference's process-pool DataLoader workers). Falls back to a
+        sequential loop without the extension."""
+        if self._ext is None:
+            return [self.sample_from_nodes(b) for b in seed_batches]
+        outs = self._ext.neighbor_sample_many_c(
+            self.colptr, self.row, self.edge_perm, seed_batches,
+            self.num_neighbors, self.replace,
+            int(self.rng.integers(0, 2 ** 63)))
+        return [SamplerOutput(node=n, row=r, col=c, edge=e,
+                              batch_size=len(seed_batches[i]),
+                              num_sampled_nodes=hn, num_sampled_edges=he)
+                for i, (n, r, c, e, hn, he) in enumerate(outs)]
+
     def _sample_np(self, seed_nodes) -> SamplerOutput:
         seed_nodes = np.asarray(seed_nodes, dtype=np.int64)
         sampled = list(seed_nodes)
