@@ -9,6 +9,11 @@ from gammagl_tpu.ops.pallas.segment_matmul import (  # noqa: F401
     spmm_csr,
     pad_edge_weights,
 )
+from gammagl_tpu.ops.pallas.block_pair import (  # noqa: F401
+    BlockPairPlan,
+    build_block_pair_plan,
+    spmm_block_pair,
+)
 from gammagl_tpu.ops.pallas.flash_attention import (  # noqa: F401
     flash_edge_attention,
 )
@@ -22,4 +27,4 @@ from gammagl_tpu.ops.pallas.attention import (  # noqa: F401
 __all__ = ["CSRPlan", "BlockedCSRPlan", "build_csr_plan",
            "build_csr_plan_blocked", "segment_sum_csr", "spmm_csr",
            "pad_edge_weights", "plan_gather_src", "plan_gather_dst",
-           "segment_softmax_padded", "bspmm_csr", "flash_edge_attention"]
+           "segment_softmax_padded", "bspmm_csr", "flash_edge_attention", "BlockPairPlan", "build_block_pair_plan", "spmm_block_pair"]
