@@ -14,6 +14,8 @@ from gammagl_tpu.parallel.spmm import sharded_spmm, make_sharded_spmm
 from gammagl_tpu.parallel.halo import (HaloPartition, build_halo_partition,
                                        make_halo_spmm, reorder_bandwidth)
 
+from gammagl_tpu.parallel.strategies import (pipeline_apply, make_feature_sharded_spmm, relation_expert_spmm)
+
 __all__ = [
     "make_mesh",
     "replicate",
@@ -29,4 +31,7 @@ __all__ = [
     "build_halo_partition",
     "make_halo_spmm",
     "reorder_bandwidth",
+    "pipeline_apply",
+    "make_feature_sharded_spmm",
+    "relation_expert_spmm",
 ]
