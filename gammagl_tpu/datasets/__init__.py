@@ -46,6 +46,7 @@ __all__ = [
     "PolBlogs",
     "BlogCatalog",
     "CAGrQc",
+    "CA_GrQc",
     "Airports",
     "Entities",
     "ZINC",
@@ -64,3 +65,6 @@ __all__ = [
     "ADDataset",
     "AliRCD",
 ]
+
+# reference spelling (gammagl/datasets/__init__.py exports CA_GrQc)
+CA_GrQc = CAGrQc

@@ -21,8 +21,31 @@ from gammagl_tpu.layers.conv.wave7_convs import (DHNConv, HEATConv,
 
 from gammagl_tpu.layers.conv.rgt_layers import (ConstCurveLinear, ConstCurveAgg, EuclideanEncoder, ManifoldEncoder)
 from gammagl_tpu.layers.conv.rgt_vq import VectorQuantizeE, VectorQuantizeR
+from gammagl_tpu.layers.conv.compat_convs import (FusedGATConv, MAGCLConv,
+                                                  MGNNI_m_iter)
+
+# reference spellings (gammagl/layers/conv/__init__.py)
+HEATlayer = HEATConv
+Hid_conv = HidConv
+
+
+def __getattr__(name):
+    # HardGATConv's canonical home is models.wave5_models (it is built on
+    # this package, so a top-level import here would be circular); resolve
+    # the reference spelling lazily.
+    if name == "HardGATConv":
+        from gammagl_tpu.models.wave5_models import HardGATConv
+        return HardGATConv
+    raise AttributeError(name)
+
 
 __all__ = [
+    "FusedGATConv",
+    "MAGCLConv",
+    "MGNNI_m_iter",
+    "HEATlayer",
+    "Hid_conv",
+    "HardGATConv",
     "MessagePassing",
     "GCNConv",
     "GATConv",

@@ -30,8 +30,19 @@ from gammagl_tpu.utils.pruning import (threshold_prune, prune_params,
                                        rewind, sparsity,
                                        prune_edges_by_weight)
 from gammagl_tpu.ops.softmax import segment_softmax
+from gammagl_tpu.utils.compat_utils import (
+    calc_A_norm_hat, edge_index_to_adj_matrix, get_few_shot_split,
+    node_subgraph, set_device, shortest_path_distance,
+    batched_shortest_path_distance)
 
 __all__ = [
+    "calc_A_norm_hat",
+    "edge_index_to_adj_matrix",
+    "get_few_shot_split",
+    "node_subgraph",
+    "set_device",
+    "shortest_path_distance",
+    "batched_shortest_path_distance",
     "degree",
     "add_self_loops",
     "remove_self_loops",
