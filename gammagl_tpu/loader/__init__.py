@@ -15,6 +15,9 @@ from gammagl_tpu.loader.prefetch import PrefetchLoader, prefetch_to_device
 
 from gammagl_tpu.loader.feature_cache import (DeviceFeatureCache, ShardedFeatureStore)
 from gammagl_tpu.loader.rgt_loader import (ExtractNodeLoader, ExtractLinkLoader, build_structure_batch)
+from gammagl_tpu.loader.multihost import (MultiHostNodeLoader, shard_seeds,
+                                          make_global_batch,
+                                          pad_sampled_graph)
 
 __all__ = [
     "DataLoader",
@@ -40,4 +43,14 @@ __all__ = [
     "build_structure_batch",
     "DeviceFeatureCache",
     "ShardedFeatureStore",
+    "NeighborSampler",
+    "RandomWalk",
+    "MultiHostNodeLoader",
+    "shard_seeds",
+    "make_global_batch",
+    "pad_sampled_graph",
 ]
+
+# reference spellings (gammagl/loader/__init__.py)
+NeighborSampler = NeighborSamplerLoader
+RandomWalk = RandomWalkLoader
