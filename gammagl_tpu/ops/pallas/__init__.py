@@ -8,6 +8,7 @@ from gammagl_tpu.ops.pallas.segment_matmul import (  # noqa: F401
     segment_sum_csr,
     spmm_csr,
     pad_edge_weights,
+    gather_rows,
 )
 from gammagl_tpu.ops.pallas.block_pair import (  # noqa: F401
     BlockPairPlan,
@@ -26,5 +27,6 @@ from gammagl_tpu.ops.pallas.attention import (  # noqa: F401
 
 __all__ = ["CSRPlan", "BlockedCSRPlan", "build_csr_plan",
            "build_csr_plan_blocked", "segment_sum_csr", "spmm_csr",
-           "pad_edge_weights", "plan_gather_src", "plan_gather_dst",
+           "pad_edge_weights", "gather_rows", "plan_gather_src",
+           "plan_gather_dst",
            "segment_softmax_padded", "bspmm_csr", "flash_edge_attention", "BlockPairPlan", "build_block_pair_plan", "spmm_block_pair"]

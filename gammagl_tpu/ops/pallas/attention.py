@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from gammagl_tpu.ops.pallas.segment_matmul import (_segment_matmul,
-                                                   BlockedCSRPlan, CSRPlan)
+                                                   BlockedCSRPlan, CSRPlan,
+                                                   gather_rows)
 
 __all__ = ["plan_gather_src", "plan_gather_dst", "segment_softmax_padded",
            "bspmm_csr"]
@@ -33,15 +34,16 @@ def _single(plan):
 
 
 def plan_gather_src(x, plan):
-    """x[src] in padded plan order: (E_pad, ...)."""
-    return jnp.take(x, jnp.asarray(_single(plan).src_pad), axis=0)
+    """x[src] in padded plan order: (E_pad, ...). The VJP scatter rides
+    the sorted segment-matmul kernel (see gather_rows)."""
+    return gather_rows(x, _single(plan), "src")
 
 
 def plan_gather_dst(x, plan):
-    """x[dst] in padded plan order (pads clamped; mask via plan.valid)."""
-    p = _single(plan)
-    rows = jnp.asarray(np.minimum(p.row_global, p.num_nodes - 1))
-    return jnp.take(x, rows, axis=0)
+    """x[dst] in padded plan order (pads clamped; mask via plan.valid).
+    The VJP scatter is a direct plan-order segment reduce (edges are
+    already dst-sorted)."""
+    return gather_rows(x, _single(plan), "dst")
 
 
 def segment_softmax_padded(scores, plan):
@@ -72,9 +74,8 @@ def bspmm_csr(x_heads, alpha_pad, plan, interpret=False):
     kernel call per head over a free slice.
     """
     p = _single(plan)
-    src = jnp.asarray(p.src_pad)
     N, H, F = x_heads.shape
-    msg_all = jnp.take(x_heads.reshape(N, H * F), src, axis=0)
+    msg_all = gather_rows(x_heads.reshape(N, H * F), p, "src")
     outs = []
     for h in range(H):
         msg = jax.lax.slice_in_dim(msg_all, h * F, (h + 1) * F, axis=1)

@@ -17,9 +17,17 @@ Score model (GAT-style additive attention, gat_conv.py:96-100):
 extra feature column, gather once, slice outside); `a_dst` is dense per
 destination row and loads as one (1, R) block per tile — no second gather.
 
-Backward uses the decomposed XLA path (recompute alpha; the standard
-softmax VJP), so training gets the fused forward for free while the
-backward matches the reference's hand-written gather/scatter gradients.
+Backward is ALSO one fused Pallas pass (flash-attention-style): the forward
+saves the per-row softmax statistics (m, l), so the backward recomputes
+alpha tile-locally (never materializing it in HBM) and emits all three
+gradients per edge tile:
+    dmsg_e  = alpha_e * g[row(e)]                       (one MXU matmul)
+    dalpha  = <g[row], msg_e>                           (one MXU matmul)
+    ds_e    = alpha_e * (dalpha_e - c_row) * leaky'(s)  (VPU)
+    da_dst  = segment-sum of ds (output-block revisiting accumulation)
+with c_row = <out_row, g_row> computed outside as one streaming rowdot.
+Graphs with per-head F > 512 fall back to the decomposed XLA VJP (GAT
+heads are 8-64 dims; the fallback keeps the API total).
 """
 
 import functools
@@ -51,9 +59,29 @@ def _tile_last(plan: CSRPlan):
     return tl
 
 
+def _dot3(a, b, dims, f32):
+    """dot_general with f32 accumulation; for f32 inputs use the manual
+    bf16x3 split (Mosaic's HIGHEST f32 path is ~2x slower), for bf16
+    inputs a single pass (see segment_matmul.py for the rationale)."""
+    dn = (dims, ((), ()))
+    if not f32:
+        return jax.lax.dot_general(a, b, dn,
+                                   preferred_element_type=jnp.float32)
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jax.lax.dot_general(a_hi, b_hi, dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(a_hi, b_lo, dn,
+                                  preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(a_lo, b_hi, dn,
+                                  preferred_element_type=jnp.float32))
+
+
 def _flash_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
-                  msg_ref, out_ref, m_ref, l_ref, acc_ref, *, R, ET,
-                  slope, f32_msg):
+                  msg_ref, out_ref, m_out_ref, l_out_ref, m_ref, l_ref,
+                  acc_ref, *, R, ET, slope, f32_msg):
     t = pl.program_id(1)
     sel = (jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0) == lr_ref[0])
 
@@ -100,9 +128,12 @@ def _flash_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
     def _():
         out_ref[:] = (acc_ref[:] /
                       jnp.maximum(l_ref[:], 1e-16)).astype(out_ref.dtype)
+        m_out_ref[:] = m_ref[:].reshape(1, 1, R)
+        l_out_ref[:] = l_ref[:].reshape(1, 1, R)
 
 
 def _flash_forward(s_src_pad, a_dst, msg, plan, slope, interpret):
+    """Returns (out (nb*R, F), m (nb,1,R), l (nb,1,R))."""
     # auto-interpret off-TPU so library callers never thread the flag
     interpret = interpret or jax.default_backend() != "tpu"
     R, ET, T = plan.R, plan.ET, plan.T
@@ -136,17 +167,25 @@ def _flash_forward(s_src_pad, a_dst, msg, plan, slope, interpret):
             pl.BlockSpec((1, 1, R), lambda f, t, tb, tf, tl: (tb[t], 0, 0)),
             pl.BlockSpec((ET, FT), lambda f, t, tb, tf, tl: (t, f)),
         ],
-        out_specs=pl.BlockSpec((R, FT), lambda f, t, tb, tf, tl: (tb[t], f)),
+        out_specs=[
+            pl.BlockSpec((R, FT), lambda f, t, tb, tf, tl: (tb[t], f)),
+            pl.BlockSpec((1, 1, R), lambda f, t, tb, tf, tl: (tb[t], 0, 0)),
+            pl.BlockSpec((1, 1, R), lambda f, t, tb, tf, tl: (tb[t], 0, 0)),
+        ],
         scratch_shapes=[
             pltpu.VMEM((R, 1), jnp.float32),
             pltpu.VMEM((R, 1), jnp.float32),
             pltpu.VMEM((R, FT), jnp.float32),
         ],
     )
-    out = pl.pallas_call(
+    out, m, l = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb * R, F_pad), msg.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((nb * R, F_pad), msg.dtype),
+            jax.ShapeDtypeStruct((nb, 1, R), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, R), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * R * ET * F_pad * T,
             bytes_accessed=(E_pad * F_pad + nb * R * F_pad)
@@ -156,11 +195,128 @@ def _flash_forward(s_src_pad, a_dst, msg, plan, slope, interpret):
         interpret=interpret,
     )(jnp.asarray(plan.tile_block), jnp.asarray(plan.tile_first),
       jnp.asarray(_tile_last(plan)), local_row, ssrc, a_full, msg)
-    return out[:, :F]
+    return out[:, :F], m, l
+
+
+def _flash_bwd_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
+                      m_ref, l_ref, c_ref, msg_ref, g_ref,
+                      dss_ref, da_ref, dmsg_ref, da_acc, *, R, ET, slope,
+                      f32_msg):
+    t = pl.program_id(0)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0) == lr_ref[0])
+
+    s_pre = ssrc_ref[0] + adst_ref[0, 0].reshape(R, 1)       # (R, ET)
+    s = jnp.where(s_pre >= 0, s_pre, slope * s_pre)
+    m = m_ref[0, 0].reshape(R, 1)
+    l = jnp.maximum(l_ref[0, 0].reshape(R, 1), 1e-16)
+    # exact softmax from the saved statistics; zero at invalid pairs.
+    # s <= m for valid pairs (m is the row max), so the min() clamp only
+    # guards pad arithmetic (untouched rows keep m = _NEG).
+    alpha = jnp.where(sel, jnp.exp(jnp.minimum(s - m, 0.0)) / l, 0.0)
+
+    msg = msg_ref[:]
+    g = g_ref[:]
+    gf = g.astype(jnp.float32)
+
+    # dalpha[r, e] = <g_r, msg_e>  -- contract the feature dim
+    dalpha = _dot3(gf if f32_msg else g, msg, ((1,), (1,)), f32_msg)
+    c = c_ref[0, 0].reshape(R, 1)
+    ds = alpha * (dalpha - c)
+    ds = ds * jnp.where(s_pre >= 0, 1.0, slope)               # leaky' VJP
+    ds = jnp.where(sel, ds, 0.0)
+
+    # per-edge score grad: exactly one valid row per edge -> column sum
+    dss_ref[:] = jnp.sum(ds, axis=0).reshape(1, 1, ET)
+
+    # dmsg[e] = alpha_e * g_row(e): contract the R dim of alpha with g
+    if f32_msg:
+        dmsg = _dot3(alpha, gf, ((0,), (0,)), True)
+    else:
+        dmsg = _dot3(alpha.astype(jnp.bfloat16), g, ((0,), (0,)), False)
+    dmsg_ref[:] = dmsg.astype(dmsg_ref.dtype)
+
+    # da_dst[r] = sum over this block's edges; accumulate across the
+    # block's tiles via output revisiting
+    rowsum = jnp.sum(ds, axis=1).reshape(1, 1, R)
+
+    @pl.when(tf_ref[t] == 1)
+    def _():
+        da_acc[:] = rowsum
+
+    @pl.when(tf_ref[t] == 0)
+    def _():
+        da_acc[:] = da_acc[:] + rowsum
+
+    @pl.when(tl_ref[t] == 1)
+    def _():
+        da_ref[:] = da_acc[:]
+
+
+def _flash_backward(s_src_pad, a_dst, msg, m, l, c_blocks, g_pad, plan,
+                    slope, interpret):
+    """Fused gradients. Returns (ds_src (E_pad,), da_full (nb*R,),
+    dmsg (E_pad, F))."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    R, ET, T, nb = plan.R, plan.ET, plan.T, plan.nblocks
+    E_pad, F = msg.shape
+    F_pad = _cdiv(F, 128) * 128
+    if F_pad != F:
+        msg = jnp.pad(msg, ((0, 0), (0, F_pad - F)))
+        g_pad = jnp.pad(g_pad, ((0, 0), (0, F_pad - F)))
+
+    local_row = jnp.asarray(plan.local_row.reshape(T, 1, ET))
+    ssrc = s_src_pad.astype(jnp.float32).reshape(T, 1, ET)
+    a_full = jnp.zeros((nb * R,), jnp.float32).at[:a_dst.shape[0]].set(
+        a_dst.astype(jnp.float32)).reshape(nb, 1, R)
+
+    kern = functools.partial(
+        _flash_bwd_kernel, R=R, ET=ET, slope=slope,
+        f32_msg=msg.dtype == jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, ET), lambda t, tb, tf, tl: (t, 0, 0)),
+            pl.BlockSpec((1, 1, ET), lambda t, tb, tf, tl: (t, 0, 0)),
+            pl.BlockSpec((1, 1, R), lambda t, tb, tf, tl: (tb[t], 0, 0)),
+            pl.BlockSpec((1, 1, R), lambda t, tb, tf, tl: (tb[t], 0, 0)),
+            pl.BlockSpec((1, 1, R), lambda t, tb, tf, tl: (tb[t], 0, 0)),
+            pl.BlockSpec((1, 1, R), lambda t, tb, tf, tl: (tb[t], 0, 0)),
+            pl.BlockSpec((ET, F_pad), lambda t, tb, tf, tl: (t, 0)),
+            pl.BlockSpec((R, F_pad), lambda t, tb, tf, tl: (tb[t], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, ET), lambda t, tb, tf, tl: (t, 0, 0)),
+            pl.BlockSpec((1, 1, R), lambda t, tb, tf, tl: (tb[t], 0, 0)),
+            pl.BlockSpec((ET, F_pad), lambda t, tb, tf, tl: (t, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, 1, R), jnp.float32)],
+    )
+    dss, da, dmsg = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 1, ET), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, R), jnp.float32),
+            jax.ShapeDtypeStruct((E_pad, F_pad), msg.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * R * ET * F_pad * T,
+            bytes_accessed=2 * (E_pad * F_pad + nb * R * F_pad)
+            * msg.dtype.itemsize,
+            transcendentals=E_pad * R,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(plan.tile_block), jnp.asarray(plan.tile_first),
+      jnp.asarray(_tile_last(plan)), local_row, ssrc, a_full, m, l,
+      c_blocks, msg, g_pad)
+    return dss.reshape(E_pad), da.reshape(nb * R), dmsg[:, :F]
 
 
 def _alpha_xla(s_src_pad, a_dst, plan, slope):
-    """Reference-path edge softmax in plan order (for the backward)."""
+    """Reference-path edge softmax in plan order (for the fallback
+    backward when per-head F exceeds the fused kernel's single-tile
+    limit)."""
     rows = jnp.asarray(plan.row_global.astype(np.int32))
     rows_c = jnp.asarray(np.minimum(plan.row_global, plan.nblocks * plan.R
                                     - 1))
@@ -190,19 +346,21 @@ def flash_edge_attention(s_src_pad, a_dst, msg, plan, slope=0.2,
       s_src_pad : (E_pad,) per-edge source score contribution
       a_dst     : (num_nodes,) per-destination score contribution
       msg       : (E_pad, F) gathered source features
-    Returns (num_nodes, F). Differentiable w.r.t. all three tensor args.
+    Returns (num_nodes, F). Differentiable w.r.t. all three tensor args;
+    the backward is a second fused Pallas pass (XLA fallback for F > 512).
     """
-    out = _flash_forward(s_src_pad, a_dst, msg, plan, slope, interpret)
+    out, _, _ = _flash_forward(s_src_pad, a_dst, msg, plan, slope,
+                               interpret)
     return out[:plan.num_nodes]
 
 
 def _fwd(s_src_pad, a_dst, msg, plan, slope, interpret):
-    out = flash_edge_attention(s_src_pad, a_dst, msg, plan, slope,
+    out, m, l = _flash_forward(s_src_pad, a_dst, msg, plan, slope,
                                interpret)
-    return out, (s_src_pad, a_dst, msg)
+    return out[:plan.num_nodes], (s_src_pad, a_dst, msg, m, l, out)
 
 
-def _bwd(plan, slope, interpret, res, g):
+def _bwd_xla(plan, slope, res, g):
     s_src_pad, a_dst, msg = res
     alpha, s_pre, rows, rows_c, valid = _alpha_xla(s_src_pad, a_dst, plan,
                                                    slope)
@@ -224,6 +382,30 @@ def _bwd(plan, slope, interpret, res, g):
                                   num_segments=plan.nblocks * plan.R)
     da_dst = da_full[:a_dst.shape[0]].astype(a_dst.dtype)
     return ds_src, da_dst, dmsg
+
+
+def _bwd(plan, slope, interpret, res, g):
+    s_src_pad, a_dst, msg, m, l, out = res
+    F = msg.shape[1]
+    if _cdiv(F, 128) * 128 > 512:
+        return _bwd_xla(plan, slope, (s_src_pad, a_dst, msg), g)
+    nbR = plan.nblocks * plan.R
+    g = g.astype(jnp.float32)
+    g_pad = jnp.zeros((nbR, g.shape[1]), jnp.float32).at[:g.shape[0]].set(g)
+    if msg.dtype != jnp.float32:
+        g_in = g_pad.astype(msg.dtype)
+    else:
+        g_in = g_pad
+    # c_row = <out_row, g_row>: one streaming rowdot (out is the fwd
+    # output, already padded to nb*R rows)
+    c = jnp.sum(out.astype(jnp.float32) * g_pad, axis=1)
+    c_blocks = c.reshape(plan.nblocks, 1, plan.R)
+    ds_src, da_full, dmsg = _flash_backward(
+        s_src_pad, a_dst, msg, m, l, c_blocks, g_in, plan, slope,
+        interpret)
+    return (ds_src.astype(s_src_pad.dtype),
+            da_full[:a_dst.shape[0]].astype(a_dst.dtype),
+            dmsg.astype(msg.dtype))
 
 
 flash_edge_attention.defvjp(_fwd, _bwd)

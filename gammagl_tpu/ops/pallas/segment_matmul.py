@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["CSRPlan", "BlockedCSRPlan", "build_csr_plan",
            "build_csr_plan_blocked", "segment_sum_csr", "spmm_csr",
-           "pad_edge_weights"]
+           "pad_edge_weights", "gather_rows"]
 
 
 def _cdiv(a, b):
@@ -266,6 +266,82 @@ def segment_sum_csr(msg_pad, plan, interpret=False):
     return out[:plan.num_nodes]
 
 
+def _transpose_plan(plan, n_rows):
+    """Source-sorted companion plan for the gather VJP, cached per plan.
+
+    The VJP of the per-edge source gather is a scatter-add by src — on TPU
+    that is exactly this module's sorted segment reduce with src playing
+    the destination role. Forward-pad edges are routed to a sentinel row
+    (n_rows) so their cotangents never touch real rows; the sentinel is
+    sliced away by the caller.
+    """
+    cache = getattr(plan, "_tplans", None)
+    if cache is None:
+        cache = plan._tplans = {}
+    tp = cache.get(n_rows)
+    if tp is None:
+        dst_t = np.where(plan.valid, plan.src_pad, n_rows).astype(np.int64)
+        tp = build_csr_plan(np.zeros_like(dst_t), dst_t, n_rows + 1,
+                            num_src=plan.E_pad, R=plan.R, ET=plan.ET)
+        cache[n_rows] = tp
+    return tp
+
+
+def _scatter_rows_by(v, plan, index_kind, n_rows):
+    """Segment-reduce padded-plan-order cotangents v (E_pad, ...) back to
+    (n_rows, ...) rows: by 'src' (via the cached transpose plan) or by
+    'dst' (the plan itself already IS dst-sorted — no permutation needed).
+    1-D cotangents use the XLA scalar scatter (cheap); row cotangents run
+    on the MXU kernel, replacing XLA's scatter-add (~5x at arxiv scale).
+    """
+    valid = jnp.asarray(plan.valid)
+    if index_kind == "src":
+        if v.ndim == 1:
+            vv = jnp.where(valid, v, 0)
+            return jax.ops.segment_sum(vv, jnp.asarray(plan.src_pad),
+                                       num_segments=n_rows)
+        tp = _transpose_plan(plan, n_rows)
+        v_ext = jnp.concatenate(
+            [v, jnp.zeros((1,) + v.shape[1:], v.dtype)])
+        v_t = jnp.take(v_ext, jnp.asarray(
+            np.minimum(tp.perm, plan.E_pad)), axis=0)
+        w = jnp.asarray(tp.valid).astype(v.dtype)
+        return _segment_matmul(v_t, w, tp, False)[:n_rows]
+    # dst: v is already in the plan's dst-sorted order
+    if v.ndim == 1:
+        rows = jnp.asarray(np.minimum(plan.row_global,
+                                      plan.nblocks * plan.R - 1))
+        vv = jnp.where(valid, v, 0)
+        return jax.ops.segment_sum(vv, rows,
+                                   num_segments=plan.nblocks * plan.R
+                                   )[:n_rows]
+    w = jnp.asarray(plan.valid).astype(v.dtype)
+    return _segment_matmul(v, w, plan, False)[:n_rows]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def gather_rows(x, plan, index_kind="src"):
+    """Per-edge endpoint gather x[src|dst] in padded plan order, with a
+    kernel-backed VJP (scatter-add rides the sorted segment-matmul instead
+    of XLA's scatter)."""
+    if index_kind == "src":
+        idx = jnp.asarray(plan.src_pad)
+    else:
+        idx = jnp.asarray(np.minimum(plan.row_global, plan.num_nodes - 1))
+    return jnp.take(x, idx, axis=0)
+
+
+def _gather_rows_fwd(x, plan, index_kind):
+    return gather_rows(x, plan, index_kind), x.shape[0]
+
+
+def _gather_rows_bwd(plan, index_kind, n_rows, v):
+    return (_scatter_rows_by(v, plan, index_kind, n_rows),)
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 class BlockedCSRPlan:
     """Per-source-block sub-plans (hashable by identity, like CSRPlan).
 
@@ -368,7 +444,7 @@ def spmm_csr(x, edge_weight, plan, interpret=False, weights_padded=False):
                 w_pad = edge_weight[i]
             else:
                 w_pad = _edge_weights_padded(edge_weight, sub, x.dtype)
-            msg = jnp.take(x, jnp.asarray(sub.src_pad), axis=0)
+            msg = gather_rows(x, sub)
             part = _segment_matmul(msg, w_pad, sub, interpret)
             out = part if out is None else out + part
         return out[:plan.num_nodes]
@@ -376,6 +452,6 @@ def spmm_csr(x, edge_weight, plan, interpret=False, weights_padded=False):
         w_pad = edge_weight
     else:
         w_pad = _edge_weights_padded(edge_weight, plan, x.dtype)
-    msg = jnp.take(x, jnp.asarray(plan.src_pad), axis=0)
+    msg = gather_rows(x, plan)
     out = _segment_matmul(msg, w_pad, plan, interpret)
     return out[:plan.num_nodes]

@@ -89,3 +89,45 @@ def test_gat_conv_fused_plan_matches_coo():
     out = conv.apply(params, x, ei, plan=plan)  # fused path (no dropout)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_flash_gradients_xla_fallback_wide_features():
+    # per-head F > 512 routes the backward through the decomposed XLA VJP
+    plan, x, a_s, a_d, n = _setup(seed=9, n=12, e=40, f=640)
+
+    def loss_fused(a_s, a_d, x):
+        out = flash_edge_attention(plan_gather_src(a_s, plan), a_d,
+                                   plan_gather_src(x, plan), plan, 0.2)
+        return (out ** 2).sum()
+
+    def loss_ref(a_s, a_d, x):
+        return (_decomposed(a_s, a_d, x, plan) ** 2).sum()
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(a_s, a_d, x)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(a_s, a_d, x)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_flash_backward_isolated_rows_and_bf16():
+    # zero-degree destination rows must not poison gradients (l == 0
+    # guard in the recomputed alpha); bf16 message path exercised too
+    rng = np.random.default_rng(11)
+    n, e = 16, 30
+    src = rng.integers(0, n, e)
+    dst = np.where(rng.integers(0, 2, e) > 0, 0, 1)
+    plan = build_csr_plan(src, dst, n, R=8, ET=16)
+    x = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=n).astype(np.float32))
+
+    for dt in (jnp.float32, jnp.bfloat16):
+        def loss(a_s, a_d, xx):
+            out = flash_edge_attention(
+                plan_gather_src(a_s, plan), a_d,
+                plan_gather_src(xx, plan).astype(dt), plan, 0.2)
+            return (out.astype(jnp.float32) ** 2).sum()
+
+        grads = jax.grad(loss, argnums=(0, 1, 2))(a, a, x)
+        for gr in grads:
+            assert np.isfinite(np.asarray(gr, dtype=np.float32)).all()

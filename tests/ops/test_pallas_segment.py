@@ -77,3 +77,44 @@ def test_spmm_csr_bfloat16():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=0.1, atol=0.15)
+
+
+def test_gather_rows_vjp_matches_take():
+    """Kernel-backed scatter VJP (src via transpose plan, dst via the plan
+    itself) must match the plain jnp.take autodiff. Pad cotangents are
+    zeroed on both sides (take clamps pad indices into real rows; the
+    kernel routes them to a sentinel -- semantics only agree at zero,
+    which every in-library caller guarantees)."""
+    from gammagl_tpu.ops.pallas import build_csr_plan, gather_rows
+
+    rng = np.random.default_rng(13)
+    n, e, f = 20, 70, 9
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    plan = build_csr_plan(src, dst, n, R=8, ET=16)
+    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    valid = jnp.asarray(plan.valid)
+    vwide = jnp.where(valid[:, None], jnp.asarray(
+        rng.normal(size=(plan.E_pad, f)).astype(np.float32)), 0.0)
+    v1d = jnp.where(valid, jnp.asarray(
+        rng.normal(size=(plan.E_pad,)).astype(np.float32)), 0.0)
+
+    for kind, idx in (("src", plan.src_pad),
+                      ("dst", np.minimum(plan.row_global, n - 1))):
+        idxj = jnp.asarray(idx)
+
+        # wide cotangent (Pallas transpose-plan / plan-order reduce path)
+        g_new = jax.grad(
+            lambda xx: jnp.sum(gather_rows(xx, plan, kind) * vwide))(x)
+        g_ref = jax.grad(
+            lambda xx: jnp.sum(jnp.take(xx, idxj, axis=0) * vwide))(x)
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+        # 1-D cotangent (scalar scatter path)
+        g1_new = jax.grad(
+            lambda xx: jnp.sum(gather_rows(xx[:, 0], plan, kind) * v1d))(x)
+        g1_ref = jax.grad(
+            lambda xx: jnp.sum(jnp.take(xx[:, 0], idxj) * v1d))(x)
+        np.testing.assert_allclose(np.asarray(g1_new), np.asarray(g1_ref),
+                                   rtol=1e-4, atol=1e-5)
