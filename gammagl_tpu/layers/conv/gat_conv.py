@@ -34,13 +34,16 @@ class GATConv(MessagePassing):
         x = (x @ w).reshape(-1, H, F)
         att = self.param("att", nn.initializers.truncated_normal(0.02),
                          (1, H, 2 * F))
-        if plan is not None and not (self.dropout_rate > 0 and train):
+        if plan is not None:
             # Fused fast path: GAT's additive score splits per endpoint
             # (e = <att_src, x_src> + <att_dst, x_dst>), so the whole
             # score -> softmax -> aggregate pipeline runs as ONE flash
             # kernel per head over ONE endpoint gather (the source score
             # rides the feature gather as extra columns). 6.5-8.8x over
-            # the decomposed XLA-scatter path at arxiv scale.
+            # the decomposed XLA-scatter path at arxiv scale. Attention
+            # dropout is fused too: the post-softmax alpha mask enters the
+            # kernel as pre-scaled per-edge weights (keep_pad), so
+            # training never leaves the fused path.
             import jax
             from gammagl_tpu.ops.pallas import (flash_edge_attention,
                                                 plan_gather_src)
@@ -48,27 +51,20 @@ class GATConv(MessagePassing):
             a_dst = jnp.einsum("nhf,hf->nh", x, att[0, :, F:])
             packed = jnp.concatenate([x.reshape(-1, H * F), s_src], axis=1)
             g = plan_gather_src(packed, plan)
+            keep = None
+            if self.dropout_rate > 0 and train:
+                rng = self.make_rng("dropout")
+                kp = 1.0 - self.dropout_rate
+                keep = jax.random.bernoulli(
+                    rng, kp, (plan.E_pad, H)).astype(jnp.float32) / kp
             out = jnp.stack(
                 [flash_edge_attention(
                     g[:, H * F + h],
                     a_dst[:, h],
                     jax.lax.slice_in_dim(g, h * F, (h + 1) * F, axis=1),
-                    plan, self.negative_slope)
+                    plan, self.negative_slope,
+                    keep_pad=None if keep is None else keep[:, h])
                  for h in range(H)], axis=1)
-        elif plan is not None:
-            # attention dropout needs the materialized alpha: decomposed
-            # plan-order path (padded softmax + per-head MXU bspmm)
-            from gammagl_tpu.ops.pallas.attention import (
-                bspmm_csr, plan_gather_dst, plan_gather_src,
-                segment_softmax_padded)
-            feat = jnp.concatenate([plan_gather_src(x, plan),
-                                    plan_gather_dst(x, plan)], axis=-1)
-            e = nn.leaky_relu(jnp.sum(feat * att, axis=-1),
-                              self.negative_slope)
-            alpha = segment_softmax_padded(e, plan)
-            alpha = nn.Dropout(self.dropout_rate,
-                               deterministic=not train)(alpha)
-            out = bspmm_csr(x, alpha, plan)
         else:
             src, dst = edge_index[0], edge_index[1]
             feat = jnp.concatenate(
@@ -108,7 +104,8 @@ class GATV2Conv(MessagePassing):
     share_weights: bool = False
 
     @nn.compact
-    def __call__(self, x, edge_index, num_nodes=None, train=False):
+    def __call__(self, x, edge_index, num_nodes=None, train=False,
+                 plan=None):
         H, F = self.heads, self.out_channels
         if num_nodes is None:
             num_nodes = x.shape[0]
@@ -117,20 +114,49 @@ class GATV2Conv(MessagePassing):
         lin_r = lin_l if self.share_weights else nn.Dense(
             H * F, use_bias=False,
             kernel_init=nn.initializers.glorot_uniform())
-        src, dst = edge_index[0], edge_index[1]
-        x_l = lin_l(x).reshape(-1, H, F)
-        x_r = lin_r(x).reshape(-1, H, F)
-        feat = (jnp.take(x_l, src, axis=0, mode="clip")
-                + jnp.take(x_r, dst, axis=0, mode="clip"))
-        feat = nn.leaky_relu(feat, self.negative_slope)
         att = self.param("att", nn.initializers.truncated_normal(0.02),
                          (1, H, F))
-        e = jnp.sum(feat * att, axis=-1)
-        alpha = segment_softmax(e, dst, num_nodes)
-        if self.dropout_rate > 0:
-            alpha = nn.Dropout(self.dropout_rate, deterministic=not train)(
-                alpha)
-        out = bspmm(edge_index, alpha, x_l, num_nodes=num_nodes)
+        x_l = lin_l(x).reshape(-1, H, F)
+        x_r = lin_r(x).reshape(-1, H, F)
+        if plan is not None:
+            # GATv2's score is per-edge (a . leaky(W_l x_j + W_r x_i) --
+            # no endpoint decomposition), so the fused path computes the
+            # score from two plan-order gathers and runs softmax +
+            # aggregate as ONE flash kernel per head (arbitrary-score
+            # variant, slope=1 identity); dropout fuses via keep_pad.
+            import jax
+            from gammagl_tpu.ops.pallas import (flash_softmax_spmm,
+                                                plan_gather_dst,
+                                                plan_gather_src)
+            g_l = plan_gather_src(x_l.reshape(-1, H * F), plan)
+            g_r = plan_gather_dst(x_r.reshape(-1, H * F), plan)
+            feat = nn.leaky_relu(
+                (g_l + g_r).reshape(-1, H, F), self.negative_slope)
+            e = jnp.einsum("ehf,hf->eh", feat, att[0])
+            keep = None
+            if self.dropout_rate > 0 and train:
+                rng = self.make_rng("dropout")
+                kp = 1.0 - self.dropout_rate
+                keep = jax.random.bernoulli(
+                    rng, kp, (plan.E_pad, H)).astype(jnp.float32) / kp
+            out = jnp.stack(
+                [flash_softmax_spmm(
+                    e[:, h],
+                    jax.lax.slice_in_dim(g_l, h * F, (h + 1) * F, axis=1),
+                    plan,
+                    keep_pad=None if keep is None else keep[:, h])
+                 for h in range(H)], axis=1)
+        else:
+            src, dst = edge_index[0], edge_index[1]
+            feat = (jnp.take(x_l, src, axis=0, mode="clip")
+                    + jnp.take(x_r, dst, axis=0, mode="clip"))
+            feat = nn.leaky_relu(feat, self.negative_slope)
+            e = jnp.sum(feat * att, axis=-1)
+            alpha = segment_softmax(e, dst, num_nodes)
+            if self.dropout_rate > 0:
+                alpha = nn.Dropout(self.dropout_rate,
+                                   deterministic=not train)(alpha)
+            out = bspmm(edge_index, alpha, x_l, num_nodes=num_nodes)
         if self.concat:
             out = out.reshape(-1, H * F)
         else:

@@ -17,6 +17,7 @@ from gammagl_tpu.ops.pallas.block_pair import (  # noqa: F401
 )
 from gammagl_tpu.ops.pallas.flash_attention import (  # noqa: F401
     flash_edge_attention,
+    flash_softmax_spmm,
 )
 from gammagl_tpu.ops.pallas.attention import (  # noqa: F401
     plan_gather_src,
@@ -28,5 +29,6 @@ from gammagl_tpu.ops.pallas.attention import (  # noqa: F401
 __all__ = ["CSRPlan", "BlockedCSRPlan", "build_csr_plan",
            "build_csr_plan_blocked", "segment_sum_csr", "spmm_csr",
            "pad_edge_weights", "gather_rows", "plan_gather_src",
-           "plan_gather_dst",
-           "segment_softmax_padded", "bspmm_csr", "flash_edge_attention", "BlockPairPlan", "build_block_pair_plan", "spmm_block_pair"]
+           "plan_gather_dst", "segment_softmax_padded", "bspmm_csr",
+           "flash_edge_attention", "flash_softmax_spmm", "BlockPairPlan",
+           "build_block_pair_plan", "spmm_block_pair"]

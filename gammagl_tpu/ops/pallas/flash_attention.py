@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gammagl_tpu.ops.pallas.segment_matmul import CSRPlan
 
-__all__ = ["flash_edge_attention"]
+__all__ = ["flash_edge_attention", "flash_softmax_spmm"]
 
 _NEG = -1e30  # -inf stand-in that survives exp/rescale arithmetic
 
@@ -80,8 +80,13 @@ def _dot3(a, b, dims, f32):
 
 
 def _flash_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
-                  msg_ref, out_ref, m_out_ref, l_out_ref, m_ref, l_ref,
-                  acc_ref, *, R, ET, slope, f32_msg):
+                  *rest, R, ET, slope, f32_msg, has_mask):
+    if has_mask:
+        (mask_ref, msg_ref, out_ref, m_out_ref, l_out_ref,
+         m_ref, l_ref, acc_ref) = rest
+    else:
+        (msg_ref, out_ref, m_out_ref, l_out_ref,
+         m_ref, l_ref, acc_ref) = rest
     t = pl.program_id(1)
     sel = (jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0) == lr_ref[0])
 
@@ -106,6 +111,11 @@ def _flash_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
     p = jnp.where(sel, jnp.exp(s - m_new), 0.0)
 
     l_ref[:] = l_ref[:] * scale + jnp.sum(p, axis=1, keepdims=True)
+    if has_mask:
+        # post-softmax alpha dropout: the denominator keeps the full
+        # softmax mass (dropout scales alpha AFTER normalization), so the
+        # mask (pre-scaled by 1/keep) only weights the accumulator.
+        p = p * mask_ref[0]
     msg = msg_ref[:]
     if f32_msg:
         # bf16x3: exact-split p and msg, drop only the lo*lo term
@@ -132,7 +142,8 @@ def _flash_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
         l_out_ref[:] = l_ref[:].reshape(1, 1, R)
 
 
-def _flash_forward(s_src_pad, a_dst, msg, plan, slope, interpret):
+def _flash_forward(s_src_pad, a_dst, msg, plan, slope, interpret,
+                   keep_pad=None):
     """Returns (out (nb*R, F), m (nb,1,R), l (nb,1,R))."""
     # auto-interpret off-TPU so library callers never thread the flag
     interpret = interpret or jax.default_backend() != "tpu"
@@ -155,9 +166,16 @@ def _flash_forward(s_src_pad, a_dst, msg, plan, slope, interpret):
     a_full = jnp.zeros((nb * R,), jnp.float32).at[:a_dst.shape[0]].set(
         a_dst.astype(jnp.float32)).reshape(nb, 1, R)
 
+    has_mask = keep_pad is not None
+    mask_in, mask_spec = (), ()
+    if has_mask:
+        mask_in = (keep_pad.astype(jnp.float32).reshape(T, 1, ET),)
+        mask_spec = (pl.BlockSpec((1, 1, ET),
+                                  lambda f, t, tb, tf, tl: (t, 0, 0)),)
+
     kern = functools.partial(
         _flash_kernel, R=R, ET=ET, slope=slope,
-        f32_msg=msg.dtype == jnp.float32)
+        f32_msg=msg.dtype == jnp.float32, has_mask=has_mask)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(F_pad // FT, T),
@@ -165,6 +183,7 @@ def _flash_forward(s_src_pad, a_dst, msg, plan, slope, interpret):
             pl.BlockSpec((1, 1, ET), lambda f, t, tb, tf, tl: (t, 0, 0)),
             pl.BlockSpec((1, 1, ET), lambda f, t, tb, tf, tl: (t, 0, 0)),
             pl.BlockSpec((1, 1, R), lambda f, t, tb, tf, tl: (tb[t], 0, 0)),
+            *mask_spec,
             pl.BlockSpec((ET, FT), lambda f, t, tb, tf, tl: (t, f)),
         ],
         out_specs=[
@@ -194,14 +213,19 @@ def _flash_forward(s_src_pad, a_dst, msg, plan, slope, interpret):
         ),
         interpret=interpret,
     )(jnp.asarray(plan.tile_block), jnp.asarray(plan.tile_first),
-      jnp.asarray(_tile_last(plan)), local_row, ssrc, a_full, msg)
+      jnp.asarray(_tile_last(plan)), local_row, ssrc, a_full, *mask_in,
+      msg)
     return out[:, :F], m, l
 
 
 def _flash_bwd_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
-                      m_ref, l_ref, c_ref, msg_ref, g_ref,
-                      dss_ref, da_ref, dmsg_ref, da_acc, *, R, ET, slope,
-                      f32_msg):
+                      *rest, R, ET, slope, f32_msg, has_mask):
+    if has_mask:
+        (mask_ref, m_ref, l_ref, c_ref, msg_ref, g_ref,
+         dss_ref, da_ref, dmsg_ref, da_acc) = rest
+    else:
+        (m_ref, l_ref, c_ref, msg_ref, g_ref,
+         dss_ref, da_ref, dmsg_ref, da_acc) = rest
     t = pl.program_id(0)
     sel = (jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0) == lr_ref[0])
 
@@ -220,6 +244,13 @@ def _flash_bwd_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
 
     # dalpha[r, e] = <g_r, msg_e>  -- contract the feature dim
     dalpha = _dot3(gf if f32_msg else g, msg, ((1,), (1,)), f32_msg)
+    if has_mask:
+        # out already folds the mask, so c = <out, g> is the masked inner
+        # sum; the per-edge path gets the mask weight explicitly.
+        dalpha = dalpha * mask_ref[0]
+        alpha_w = alpha * mask_ref[0]
+    else:
+        alpha_w = alpha
     c = c_ref[0, 0].reshape(R, 1)
     ds = alpha * (dalpha - c)
     ds = ds * jnp.where(s_pre >= 0, 1.0, slope)               # leaky' VJP
@@ -230,9 +261,9 @@ def _flash_bwd_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
 
     # dmsg[e] = alpha_e * g_row(e): contract the R dim of alpha with g
     if f32_msg:
-        dmsg = _dot3(alpha, gf, ((0,), (0,)), True)
+        dmsg = _dot3(alpha_w, gf, ((0,), (0,)), True)
     else:
-        dmsg = _dot3(alpha.astype(jnp.bfloat16), g, ((0,), (0,)), False)
+        dmsg = _dot3(alpha_w.astype(jnp.bfloat16), g, ((0,), (0,)), False)
     dmsg_ref[:] = dmsg.astype(dmsg_ref.dtype)
 
     # da_dst[r] = sum over this block's edges; accumulate across the
@@ -253,7 +284,7 @@ def _flash_bwd_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
 
 
 def _flash_backward(s_src_pad, a_dst, msg, m, l, c_blocks, g_pad, plan,
-                    slope, interpret):
+                    slope, interpret, keep_pad=None):
     """Fused gradients. Returns (ds_src (E_pad,), da_full (nb*R,),
     dmsg (E_pad, F))."""
     interpret = interpret or jax.default_backend() != "tpu"
@@ -269,9 +300,16 @@ def _flash_backward(s_src_pad, a_dst, msg, m, l, c_blocks, g_pad, plan,
     a_full = jnp.zeros((nb * R,), jnp.float32).at[:a_dst.shape[0]].set(
         a_dst.astype(jnp.float32)).reshape(nb, 1, R)
 
+    has_mask = keep_pad is not None
+    mask_in, mask_spec = (), ()
+    if has_mask:
+        mask_in = (keep_pad.astype(jnp.float32).reshape(T, 1, ET),)
+        mask_spec = (pl.BlockSpec((1, 1, ET),
+                                  lambda t, tb, tf, tl: (t, 0, 0)),)
+
     kern = functools.partial(
         _flash_bwd_kernel, R=R, ET=ET, slope=slope,
-        f32_msg=msg.dtype == jnp.float32)
+        f32_msg=msg.dtype == jnp.float32, has_mask=has_mask)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T,),
@@ -279,6 +317,7 @@ def _flash_backward(s_src_pad, a_dst, msg, m, l, c_blocks, g_pad, plan,
             pl.BlockSpec((1, 1, ET), lambda t, tb, tf, tl: (t, 0, 0)),
             pl.BlockSpec((1, 1, ET), lambda t, tb, tf, tl: (t, 0, 0)),
             pl.BlockSpec((1, 1, R), lambda t, tb, tf, tl: (tb[t], 0, 0)),
+            *mask_spec,
             pl.BlockSpec((1, 1, R), lambda t, tb, tf, tl: (tb[t], 0, 0)),
             pl.BlockSpec((1, 1, R), lambda t, tb, tf, tl: (tb[t], 0, 0)),
             pl.BlockSpec((1, 1, R), lambda t, tb, tf, tl: (tb[t], 0, 0)),
@@ -308,8 +347,8 @@ def _flash_backward(s_src_pad, a_dst, msg, m, l, c_blocks, g_pad, plan,
         ),
         interpret=interpret,
     )(jnp.asarray(plan.tile_block), jnp.asarray(plan.tile_first),
-      jnp.asarray(_tile_last(plan)), local_row, ssrc, a_full, m, l,
-      c_blocks, msg, g_pad)
+      jnp.asarray(_tile_last(plan)), local_row, ssrc, a_full, *mask_in,
+      m, l, c_blocks, msg, g_pad)
     return dss.reshape(E_pad), da.reshape(nb * R), dmsg[:, :F]
 
 
@@ -338,7 +377,7 @@ def _alpha_xla(s_src_pad, a_dst, plan, slope):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_edge_attention(s_src_pad, a_dst, msg, plan, slope=0.2,
-                         interpret=False):
+                         interpret=False, keep_pad=None):
     """out[d] = sum_e softmax_d(leaky_relu(s_src + a_dst[d]))_e * msg[e].
 
     Single fused Pallas pass (online softmax). Inputs are in the plan's
@@ -346,22 +385,26 @@ def flash_edge_attention(s_src_pad, a_dst, msg, plan, slope=0.2,
       s_src_pad : (E_pad,) per-edge source score contribution
       a_dst     : (num_nodes,) per-destination score contribution
       msg       : (E_pad, F) gathered source features
-    Returns (num_nodes, F). Differentiable w.r.t. all three tensor args;
+      keep_pad  : optional (E_pad,) post-softmax alpha weights -- the
+                  fused form of attention dropout (values {0, 1/keep});
+                  treated as non-differentiable (zero cotangent).
+    Returns (num_nodes, F). Differentiable w.r.t. the three tensor args;
     the backward is a second fused Pallas pass (XLA fallback for F > 512).
     """
     out, _, _ = _flash_forward(s_src_pad, a_dst, msg, plan, slope,
-                               interpret)
+                               interpret, keep_pad)
     return out[:plan.num_nodes]
 
 
-def _fwd(s_src_pad, a_dst, msg, plan, slope, interpret):
+def _fwd(s_src_pad, a_dst, msg, plan, slope, interpret, keep_pad=None):
     out, m, l = _flash_forward(s_src_pad, a_dst, msg, plan, slope,
-                               interpret)
-    return out[:plan.num_nodes], (s_src_pad, a_dst, msg, m, l, out)
+                               interpret, keep_pad)
+    return out[:plan.num_nodes], (s_src_pad, a_dst, msg, m, l, out,
+                                  keep_pad)
 
 
 def _bwd_xla(plan, slope, res, g):
-    s_src_pad, a_dst, msg = res
+    s_src_pad, a_dst, msg, keep_pad = res
     alpha, s_pre, rows, rows_c, valid = _alpha_xla(s_src_pad, a_dst, plan,
                                                    slope)
     g = g.astype(jnp.float32)
@@ -369,8 +412,14 @@ def _bwd_xla(plan, slope, res, g):
                       ).at[:g.shape[0]].set(g)
     g_rows = jnp.take(g_pad, rows_c, axis=0)
     msf = msg.astype(jnp.float32)
-    dmsg = (alpha[:, None] * g_rows).astype(msg.dtype)
     dalpha = jnp.sum(g_rows * msf, axis=-1)
+    if keep_pad is not None:
+        w = keep_pad.astype(jnp.float32)
+        dalpha = dalpha * w
+        alpha_w = alpha * w
+    else:
+        alpha_w = alpha
+    dmsg = (alpha_w[:, None] * g_rows).astype(msg.dtype)
     # softmax VJP over segments: ds = alpha * (dalpha - sum_seg alpha*dalpha)
     inner = jax.ops.segment_sum(alpha * dalpha, rows,
                                 num_segments=plan.nblocks * plan.R)
@@ -381,14 +430,15 @@ def _bwd_xla(plan, slope, res, g):
     da_full = jax.ops.segment_sum(ds, rows,
                                   num_segments=plan.nblocks * plan.R)
     da_dst = da_full[:a_dst.shape[0]].astype(a_dst.dtype)
-    return ds_src, da_dst, dmsg
+    dkeep = None if keep_pad is None else jnp.zeros_like(keep_pad)
+    return ds_src, da_dst, dmsg, dkeep
 
 
 def _bwd(plan, slope, interpret, res, g):
-    s_src_pad, a_dst, msg, m, l, out = res
+    s_src_pad, a_dst, msg, m, l, out, keep_pad = res
     F = msg.shape[1]
     if _cdiv(F, 128) * 128 > 512:
-        return _bwd_xla(plan, slope, (s_src_pad, a_dst, msg), g)
+        return _bwd_xla(plan, slope, (s_src_pad, a_dst, msg, keep_pad), g)
     nbR = plan.nblocks * plan.R
     g = g.astype(jnp.float32)
     g_pad = jnp.zeros((nbR, g.shape[1]), jnp.float32).at[:g.shape[0]].set(g)
@@ -402,10 +452,30 @@ def _bwd(plan, slope, interpret, res, g):
     c_blocks = c.reshape(plan.nblocks, 1, plan.R)
     ds_src, da_full, dmsg = _flash_backward(
         s_src_pad, a_dst, msg, m, l, c_blocks, g_in, plan, slope,
-        interpret)
+        interpret, keep_pad)
+    dkeep = None if keep_pad is None else jnp.zeros_like(keep_pad)
     return (ds_src.astype(s_src_pad.dtype),
             da_full[:a_dst.shape[0]].astype(a_dst.dtype),
-            dmsg.astype(msg.dtype))
+            dmsg.astype(msg.dtype), dkeep)
 
 
 flash_edge_attention.defvjp(_fwd, _bwd)
+
+
+def flash_softmax_spmm(scores_pad, msg, plan, interpret=False,
+                       keep_pad=None):
+    """Fused segment-softmax + weighted aggregate for ARBITRARY per-edge
+    scores (no GAT-style src/dst decomposition required):
+
+        out[d] = sum_e softmax_d(scores)_e * msg[e]
+
+    With slope=1 the kernel's leaky_relu is the identity, so any
+    already-computed edge score (GATv2's post-MLP score, HGT's relation
+    dot product, HAN's semantic score, ...) rides the same single-pass
+    online-softmax kernel as GAT. `keep_pad` fuses attention dropout
+    (see flash_edge_attention). Replaces the reference's 3-pass
+    segment_softmax + weighted scatter (utils/softmax.py:10 + bspmm).
+    """
+    zeros = jnp.zeros((plan.num_nodes,), jnp.float32)
+    return flash_edge_attention(scores_pad, zeros, msg, plan, 1.0,
+                                interpret, keep_pad)

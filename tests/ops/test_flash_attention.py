@@ -131,3 +131,114 @@ def test_flash_backward_isolated_rows_and_bf16():
         grads = jax.grad(loss, argnums=(0, 1, 2))(a, a, x)
         for gr in grads:
             assert np.isfinite(np.asarray(gr, dtype=np.float32)).all()
+
+
+def test_flash_dropout_keep_pad_matches_manual_mask():
+    """Fused alpha-dropout (keep_pad) must equal the decomposed path with
+    the SAME post-softmax mask, in value and in all three gradients."""
+    plan, x, a_s, a_d, n = _setup(seed=17, n=20, e=70, f=8)
+    rng = np.random.default_rng(21)
+    kp = 0.6
+    keep = jnp.asarray(
+        (rng.random(plan.E_pad) < kp).astype(np.float32) / kp)
+
+    def loss_fused(a_s, a_d, x):
+        out = flash_edge_attention(plan_gather_src(a_s, plan), a_d,
+                                   plan_gather_src(x, plan), plan, 0.2,
+                                   keep_pad=keep)
+        return (out ** 2).sum()
+
+    def loss_ref(a_s, a_d, x):
+        msg = plan_gather_src(x, plan)
+        s_src = plan_gather_src(a_s, plan)
+        rows_c = jnp.asarray(np.minimum(plan.row_global, n - 1))
+        s = s_src + a_d[rows_c]
+        s = jnp.where(s >= 0, s, 0.2 * s)
+        alpha = segment_softmax_padded(s, plan) * keep
+        out = _segment_matmul(msg, alpha, plan, False)[:n]
+        return (out ** 2).sum()
+
+    v1, g1 = jax.value_and_grad(loss_fused, argnums=(0, 1, 2))(a_s, a_d, x)
+    v2, g2 = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(a_s, a_d, x)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_flash_softmax_spmm_arbitrary_scores():
+    """Arbitrary per-edge scores (GATv2/HGT shape) through the slope=1
+    wrapper match the decomposed softmax+matmul, values and grads."""
+    from gammagl_tpu.ops.pallas import flash_softmax_spmm
+    plan, x, _, _, n = _setup(seed=23, n=18, e=64, f=7)
+    rng = np.random.default_rng(29)
+    scores = jnp.where(
+        jnp.asarray(plan.valid),
+        jnp.asarray(rng.normal(size=plan.E_pad).astype(np.float32)), 0.0)
+
+    def loss_fused(s, x):
+        out = flash_softmax_spmm(s, plan_gather_src(x, plan), plan)
+        return (out ** 2).sum()
+
+    def loss_ref(s, x):
+        alpha = segment_softmax_padded(s, plan)
+        out = _segment_matmul(plan_gather_src(x, plan), alpha, plan,
+                              False)[:n]
+        return (out ** 2).sum()
+
+    v1, g1 = jax.value_and_grad(loss_fused, argnums=(0, 1))(scores, x)
+    v2, g2 = jax.value_and_grad(loss_ref, argnums=(0, 1))(scores, x)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+    # score grads only compared at valid edges (pads differ by design:
+    # the decomposed path's pad lanes shadow real rows)
+    np.testing.assert_allclose(
+        np.asarray(g1[0])[plan.valid], np.asarray(g2[0])[plan.valid],
+        rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_gatv2_conv_plan_matches_coo():
+    from gammagl_tpu.layers.conv import GATV2Conv
+    rng = np.random.default_rng(31)
+    n, e = 16, 60
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    ei = jnp.asarray(np.stack([src, dst]))
+    x = jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32))
+    plan = build_csr_plan(src, dst, n, R=8, ET=16)
+    conv = GATV2Conv(out_channels=4, heads=2, dropout_rate=0.0)
+    params = conv.init(jax.random.PRNGKey(0), x, ei)
+    ref = conv.apply(params, x, ei)
+    out = conv.apply(params, x, ei, plan=plan)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_gat_conv_fused_dropout_trains():
+    """Dropout path stays on the fused kernel: finite grads, zero-rate
+    equivalence with the no-dropout fused path."""
+    from gammagl_tpu.layers.conv import GATConv
+    rng = np.random.default_rng(37)
+    n, e = 16, 60
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    ei = jnp.asarray(np.stack([src, dst]))
+    x = jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32))
+    plan = build_csr_plan(src, dst, n, R=8, ET=16)
+    conv = GATConv(out_channels=4, heads=2, dropout_rate=0.5)
+    params = conv.init(jax.random.PRNGKey(0), x, ei)
+
+    def loss(p):
+        out = conv.apply(p, x, ei, train=True, plan=plan,
+                         rngs={"dropout": jax.random.PRNGKey(1)})
+        return (out ** 2).sum()
+
+    g = jax.grad(loss)(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+    conv0 = GATConv(out_channels=4, heads=2, dropout_rate=0.0)
+    a = conv0.apply(params, x, ei, train=True, plan=plan)
+    b = conv0.apply(params, x, ei, plan=plan)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
