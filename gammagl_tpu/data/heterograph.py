@@ -129,6 +129,32 @@ class HeteroGraph:
     def get_edge_store(self, src, rel, dst):
         return self[(src, rel, dst)]
 
+    def csr_plans(self, R=64, ET=128):
+        """Per-edge-type Pallas CSR plans for the fused attention/SpMM
+        kernels (cached). Keys match `edge_index_dict`; pass the dict as
+        `plan_dict` to the hetero convs (HGTConv/HANConv). Tile defaults
+        are smaller than the homogeneous Graph default because per-type
+        subgraphs are typically much sparser."""
+        cache = getattr(self, "_csr_plans", None)
+        if cache is None:
+            import numpy as _np
+            from gammagl_tpu.ops.pallas import build_csr_plan
+            cache = {}
+            for et, store in self._edge_stores.items():
+                ei = store._store.get("edge_index")
+                if ei is None:
+                    continue
+                ei = _np.asarray(ei)
+                src_t, _, dst_t = et
+                n_dst = self[dst_t].num_nodes
+                n_src = self[src_t].num_nodes
+                if n_dst is None or n_src is None:
+                    continue
+                cache[et] = build_csr_plan(ei[0], ei[1], n_dst,
+                                           num_src=n_src, R=R, ET=ET)
+            object.__setattr__(self, "_csr_plans", cache)
+        return cache
+
     @property
     def num_nodes(self):
         sizes = [s.num_nodes for s in self._node_stores.values()]

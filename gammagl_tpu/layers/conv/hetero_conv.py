@@ -92,7 +92,7 @@ class HANConv(nn.Module):
 
     @nn.compact
     def __call__(self, x_dict, edge_index_dict, num_nodes_dict=None,
-                 train=False):
+                 train=False, plan_dict=None):
         from gammagl_tpu.layers.conv.gat_conv import GATConv
 
         out_lists = {nt: [] for nt in x_dict}
@@ -107,7 +107,8 @@ class HANConv(nn.Module):
                           negative_slope=self.negative_slope,
                           name="gat__" + "__".join(et))
             out = gat(x_dict[src_t], edge_index_dict[et], num_nodes=n_dst,
-                      train=train)
+                      train=train,
+                      plan=plan_dict.get(et) if plan_dict else None)
             out_lists[dst_t].append(nn.relu(out))
         sem = SemAttAggr(hidden_size=self.out_channels)
         out_dict = {}
@@ -131,7 +132,7 @@ class HGTConv(nn.Module):
 
     @nn.compact
     def __call__(self, x_dict, edge_index_dict, num_nodes_dict=None,
-                 train=False):
+                 train=False, plan_dict=None):
         H = self.heads
         D = self.out_channels // H
         init = nn.initializers.glorot_uniform()
@@ -164,17 +165,48 @@ class HGTConv(nn.Module):
                      else x_dict[dst_t].shape[0])
             k = jnp.einsum("nhd,hde->nhe", k_dict[src_t], a_rel)
             v = jnp.einsum("nhd,hde->nhe", v_dict[src_t], m_rel)
-            k_e = jnp.take(k, jnp.minimum(src, k.shape[0] - 1), axis=0)
-            v_e = jnp.take(v, jnp.minimum(src, v.shape[0] - 1), axis=0)
-            q_e = jnp.take(q_dict[dst_t],
-                           jnp.minimum(dst, q_dict[dst_t].shape[0] - 1),
-                           axis=0)
-            score = (q_e * k_e).sum(-1) * rel_pri / (D ** 0.5)  # (E, H)
-            alpha = segment_softmax(score, dst, n_dst)
-            if self.dropout_rate > 0:
-                alpha = nn.Dropout(self.dropout_rate,
-                                   deterministic=not train)(alpha)
-            out = segment_sum(v_e * alpha[..., None], dst, n_dst)
+            plan = plan_dict.get(et) if plan_dict else None
+            if plan is not None:
+                # fused per-relation path: k/v ride ONE plan-order source
+                # gather; the relation score feeds the arbitrary-score
+                # flash kernel (softmax + aggregate in one pass per head),
+                # dropout fused via keep_pad.
+                from gammagl_tpu.ops.pallas import (flash_softmax_spmm,
+                                                    plan_gather_dst,
+                                                    plan_gather_src)
+                packed = jnp.concatenate(
+                    [k.reshape(-1, H * D), v.reshape(-1, H * D)], axis=1)
+                g = plan_gather_src(packed, plan)
+                q_e = plan_gather_dst(q_dict[dst_t].reshape(-1, H * D),
+                                      plan).reshape(-1, H, D)
+                k_e = g[:, :H * D].reshape(-1, H, D)
+                score = ((q_e * k_e).sum(-1) * rel_pri / (D ** 0.5))
+                keep = None
+                if self.dropout_rate > 0 and train:
+                    rng = self.make_rng("dropout")
+                    kp = 1.0 - self.dropout_rate
+                    keep = jax.random.bernoulli(
+                        rng, kp, (plan.E_pad, H)).astype(jnp.float32) / kp
+                out = jnp.stack(
+                    [flash_softmax_spmm(
+                        score[:, h],
+                        jax.lax.slice_in_dim(g, H * D + h * D,
+                                             H * D + (h + 1) * D, axis=1),
+                        plan,
+                        keep_pad=None if keep is None else keep[:, h])
+                     for h in range(H)], axis=1)
+            else:
+                k_e = jnp.take(k, jnp.minimum(src, k.shape[0] - 1), axis=0)
+                v_e = jnp.take(v, jnp.minimum(src, v.shape[0] - 1), axis=0)
+                q_e = jnp.take(q_dict[dst_t],
+                               jnp.minimum(dst, q_dict[dst_t].shape[0] - 1),
+                               axis=0)
+                score = (q_e * k_e).sum(-1) * rel_pri / (D ** 0.5)  # (E, H)
+                alpha = segment_softmax(score, dst, n_dst)
+                if self.dropout_rate > 0:
+                    alpha = nn.Dropout(self.dropout_rate,
+                                       deterministic=not train)(alpha)
+                out = segment_sum(v_e * alpha[..., None], dst, n_dst)
             out_lists[dst_t].append(out.reshape(-1, H * D))
 
         out_dict = {}

@@ -20,7 +20,7 @@ class SAGEConv(MessagePassing):
     add_bias: bool = True
 
     @nn.compact
-    def __call__(self, feat, edge_index, num_nodes=None):
+    def __call__(self, feat, edge_index, num_nodes=None, plan=None):
         if isinstance(feat, tuple):
             src_feat, dst_feat = feat
         else:
@@ -32,7 +32,8 @@ class SAGEConv(MessagePassing):
                             kernel_init=he)
         if self.aggr == "mean":
             out = self.propagate(fc_neigh(src_feat), edge_index,
-                                 num_nodes=num_nodes, aggr="mean")
+                                 num_nodes=num_nodes, aggr="mean",
+                                 plan=plan)
         elif self.aggr == "gcn":
             # symmetric-normalized sum, no separate self transform
             src, dst = edge_index[0], edge_index[1]
@@ -42,7 +43,7 @@ class SAGEConv(MessagePassing):
             w = (jnp.where(deg_src > 0, deg_src ** -0.5, 0.0)[src]
                  * jnp.where(deg_dst > 0, deg_dst ** -0.5, 0.0)[dst])
             out = self.propagate(h, edge_index, edge_weight=w,
-                                 num_nodes=num_nodes)
+                                 num_nodes=num_nodes, plan=plan)
         elif self.aggr in ("pool", "max"):
             h = nn.relu(nn.Dense(src_feat.shape[-1], use_bias=False,
                                  kernel_init=he)(src_feat))

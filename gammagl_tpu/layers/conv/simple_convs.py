@@ -37,7 +37,8 @@ class SGConv(MessagePassing):
     itera_k: int = 2
 
     @nn.compact
-    def __call__(self, x, edge_index, edge_weight=None, num_nodes=None):
+    def __call__(self, x, edge_index, edge_weight=None, num_nodes=None,
+                 plan=None):
         if num_nodes is None:
             num_nodes = x.shape[0]
         x = nn.Dense(self.out_channels,
@@ -45,7 +46,7 @@ class SGConv(MessagePassing):
         w = _gcn_weights(edge_index, num_nodes, edge_weight, x.dtype)
         for _ in range(self.itera_k):
             x = self.propagate(x, edge_index, edge_weight=w,
-                               num_nodes=num_nodes)
+                               num_nodes=num_nodes, plan=plan)
         return x
 
 
@@ -57,14 +58,14 @@ class GINConv(MessagePassing):
     learn_eps: bool = False
 
     @nn.compact
-    def __call__(self, x, edge_index, num_nodes=None):
+    def __call__(self, x, edge_index, num_nodes=None, plan=None):
         if num_nodes is None:
             num_nodes = x.shape[0]
         if self.learn_eps:
             eps = self.param("eps", lambda k: jnp.asarray(self.init_eps))
         else:
             eps = self.init_eps
-        agg = self.propagate(x, edge_index, num_nodes=num_nodes)
+        agg = self.propagate(x, edge_index, num_nodes=num_nodes, plan=plan)
         out = (1 + eps) * x + agg
         if self.apply_func is not None:
             out = self.apply_func(out)
@@ -81,7 +82,7 @@ class APPNPConv(MessagePassing):
 
     @nn.compact
     def __call__(self, x, edge_index, edge_weight=None, num_nodes=None,
-                 train=False):
+                 train=False, plan=None):
         if num_nodes is None:
             num_nodes = x.shape[0]
         w = _gcn_weights(edge_index, num_nodes, edge_weight, x.dtype)
@@ -91,7 +92,7 @@ class APPNPConv(MessagePassing):
             wk = drop(w) if self.edge_dropout > 0 else w
             x = ((1 - self.alpha)
                  * self.propagate(x, edge_index, edge_weight=wk,
-                                  num_nodes=num_nodes)
+                                  num_nodes=num_nodes, plan=plan)
                  + self.alpha * h0)
         return x
 
@@ -108,7 +109,8 @@ class GCNIIConv(MessagePassing):
     variant: bool = False
 
     @nn.compact
-    def __call__(self, x, x0, edge_index, edge_weight=None, num_nodes=None):
+    def __call__(self, x, x0, edge_index, edge_weight=None, num_nodes=None,
+                 plan=None):
         if num_nodes is None:
             num_nodes = x.shape[0]
         if edge_weight is None:
@@ -116,7 +118,7 @@ class GCNIIConv(MessagePassing):
         dense = nn.Dense(self.out_channels, use_bias=False,
                          kernel_init=nn.initializers.glorot_uniform())
         agg = self.propagate(x, edge_index, edge_weight=edge_weight,
-                             num_nodes=num_nodes)
+                             num_nodes=num_nodes, plan=plan)
         if self.variant:
             # variant=True concatenates [A_hat x, x0] before the transform
             support = jnp.concatenate(
@@ -140,7 +142,7 @@ class ChebConv(MessagePassing):
 
     @nn.compact
     def __call__(self, x, edge_index, edge_weight=None, num_nodes=None,
-                 lambda_max=2.0):
+                 lambda_max=2.0, plan=None):
         if num_nodes is None:
             num_nodes = x.shape[0]
         src, dst = edge_index[0], edge_index[1]
@@ -158,13 +160,13 @@ class ChebConv(MessagePassing):
                        kernel_init=nn.initializers.glorot_uniform())(tx_0)
         if self.K > 1:
             tx_1 = self.propagate(x, edge_index, edge_weight=w,
-                                  num_nodes=num_nodes) + diag * x
+                                  num_nodes=num_nodes, plan=plan) + diag * x
             out = out + nn.Dense(self.out_channels, use_bias=False,
                                  kernel_init=nn.initializers.glorot_uniform()
                                  )(tx_1)
             for _ in range(2, self.K):
                 tx_2 = 2 * (self.propagate(tx_1, edge_index, edge_weight=w,
-                                           num_nodes=num_nodes)
+                                           num_nodes=num_nodes, plan=plan)
                             + diag * tx_1) - tx_0
                 out = out + nn.Dense(
                     self.out_channels, use_bias=False,
@@ -182,7 +184,7 @@ class AGNNConv(MessagePassing):
     require_grad: bool = True
 
     @nn.compact
-    def __call__(self, x, edge_index, num_nodes=None):
+    def __call__(self, x, edge_index, num_nodes=None, plan=None):
         if num_nodes is None:
             num_nodes = x.shape[0]
         if self.require_grad:
@@ -194,7 +196,7 @@ class AGNNConv(MessagePassing):
         e = beta * sddmm_dot(edge_index, norm, norm)
         alpha = segment_softmax(e, edge_index[1], num_nodes)
         return self.propagate(x, edge_index, edge_weight=alpha,
-                              num_nodes=num_nodes)
+                              num_nodes=num_nodes, plan=plan)
 
 
 class FAGCNConv(MessagePassing):
@@ -205,7 +207,8 @@ class FAGCNConv(MessagePassing):
     drop_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x, edge_index, num_nodes=None, train=False):
+    def __call__(self, x, edge_index, num_nodes=None, train=False,
+                 plan=None):
         if num_nodes is None:
             num_nodes = x.shape[0]
         src, dst = edge_index[0], edge_index[1]
@@ -221,7 +224,7 @@ class FAGCNConv(MessagePassing):
         dis = jnp.where(deg > 0, deg ** -0.5, 0.0)
         w = dis[src] * alpha * dis[dst]
         return self.propagate(x, edge_index, edge_weight=w,
-                              num_nodes=num_nodes)
+                              num_nodes=num_nodes, plan=plan)
 
 
 class GPRConv(MessagePassing):
@@ -233,7 +236,8 @@ class GPRConv(MessagePassing):
     weight_init: str = "PPR"
 
     @nn.compact
-    def __call__(self, x, edge_index, edge_weight=None, num_nodes=None):
+    def __call__(self, x, edge_index, edge_weight=None, num_nodes=None,
+                 plan=None):
         if num_nodes is None:
             num_nodes = x.shape[0]
 
@@ -250,7 +254,7 @@ class GPRConv(MessagePassing):
         h = x
         for k in range(1, self.K + 1):
             h = self.propagate(h, edge_index, edge_weight=w,
-                               num_nodes=num_nodes)
+                               num_nodes=num_nodes, plan=plan)
             out = out + gamma[k] * h
         return out
 
@@ -262,7 +266,8 @@ class MixHopConv(MessagePassing):
     p: Sequence[int] = (0, 1, 2)
 
     @nn.compact
-    def __call__(self, x, edge_index, edge_weight=None, num_nodes=None):
+    def __call__(self, x, edge_index, edge_weight=None, num_nodes=None,
+                 plan=None):
         if num_nodes is None:
             num_nodes = x.shape[0]
         w = _gcn_weights(edge_index, num_nodes, edge_weight, x.dtype)
@@ -276,7 +281,7 @@ class MixHopConv(MessagePassing):
                     kernel_init=nn.initializers.glorot_uniform())(h))
             if k < max_p:
                 h = self.propagate(h, edge_index, edge_weight=w,
-                                   num_nodes=num_nodes)
+                                   num_nodes=num_nodes, plan=plan)
         return jnp.concatenate(outs, axis=-1)
 
 

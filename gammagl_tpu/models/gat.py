@@ -14,17 +14,18 @@ class GATModel(nn.Module):
     drop_rate: float = 0.6
 
     @nn.compact
-    def __call__(self, x, edge_index, num_nodes=None, train=False):
+    def __call__(self, x, edge_index, num_nodes=None, train=False,
+                 plan=None):
         drop = nn.Dropout(self.drop_rate, deterministic=not train)
         x = drop(x)
         x = GATConv(self.hidden_dim, heads=self.heads,
                     dropout_rate=self.drop_rate)(
-            x, edge_index, num_nodes, train=train)
+            x, edge_index, num_nodes, train=train, plan=plan)
         x = nn.elu(x)
         x = drop(x)
         return GATConv(self.num_class, heads=1, concat=False,
                        dropout_rate=self.drop_rate)(
-            x, edge_index, num_nodes, train=train)
+            x, edge_index, num_nodes, train=train, plan=plan)
 
 
 class GATV2Model(nn.Module):
@@ -34,14 +35,15 @@ class GATV2Model(nn.Module):
     drop_rate: float = 0.6
 
     @nn.compact
-    def __call__(self, x, edge_index, num_nodes=None, train=False):
+    def __call__(self, x, edge_index, num_nodes=None, train=False,
+                 plan=None):
         drop = nn.Dropout(self.drop_rate, deterministic=not train)
         x = drop(x)
         x = GATV2Conv(self.hidden_dim, heads=self.heads,
                       dropout_rate=self.drop_rate)(
-            x, edge_index, num_nodes, train=train)
+            x, edge_index, num_nodes, train=train, plan=plan)
         x = nn.elu(x)
         x = drop(x)
         return GATV2Conv(self.num_class, heads=1, concat=False,
                          dropout_rate=self.drop_rate)(
-            x, edge_index, num_nodes, train=train)
+            x, edge_index, num_nodes, train=train, plan=plan)

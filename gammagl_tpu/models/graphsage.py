@@ -22,15 +22,16 @@ class GraphSAGEModel(nn.Module):
     drop_rate: float = 0.5
 
     @nn.compact
-    def __call__(self, x, edge_index, num_nodes=None, train=False):
+    def __call__(self, x, edge_index, num_nodes=None, train=False,
+                 plan=None):
         drop = nn.Dropout(self.drop_rate, deterministic=not train)
         for _ in range(self.num_layers - 1):
             x = SAGEConv(self.hidden_dim, aggr=self.aggr)(
-                x, edge_index, num_nodes)
+                x, edge_index, num_nodes, plan=plan)
             x = nn.relu(x)
             x = drop(x)
         return SAGEConv(self.num_class, aggr=self.aggr)(
-            x, edge_index, num_nodes)
+            x, edge_index, num_nodes, plan=plan)
 
 
 class GraphSAGESampleModel(nn.Module):

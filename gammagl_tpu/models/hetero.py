@@ -44,11 +44,12 @@ class HANModel(nn.Module):
 
     @nn.compact
     def __call__(self, x_dict, edge_index_dict, num_nodes_dict=None,
-                 train=False):
+                 train=False, plan_dict=None):
         out = HANConv(out_channels=self.hidden_channels,
                       metadata=self.metadata, heads=self.heads,
                       dropout_rate=self.drop_rate)(
-            x_dict, edge_index_dict, num_nodes_dict, train=train)
+            x_dict, edge_index_dict, num_nodes_dict, train=train,
+            plan_dict=plan_dict)
         h = out[self.target_ntype]
         return nn.Dense(self.num_class)(h)
 
@@ -63,7 +64,7 @@ class HGTModel(nn.Module):
 
     @nn.compact
     def __call__(self, x_dict, edge_index_dict, num_nodes_dict=None,
-                 train=False):
+                 train=False, plan_dict=None):
         # project every type into the shared hidden space first
         h_dict = {nt: nn.relu(nn.Dense(self.hidden_channels,
                                        name=f"proj__{nt}")(x))
@@ -72,7 +73,8 @@ class HGTModel(nn.Module):
             out = HGTConv(out_channels=self.hidden_channels,
                           metadata=self.metadata, heads=self.heads,
                           name=f"hgt_{i}")(
-                h_dict, edge_index_dict, num_nodes_dict, train=train)
+                h_dict, edge_index_dict, num_nodes_dict, train=train,
+                plan_dict=plan_dict)
             h_dict = {**h_dict, **out}
         return nn.Dense(self.num_class)(h_dict[self.target_ntype])
 

@@ -1,0 +1,101 @@
+"""TPU drill: GAT (fused dropout) + HGT (plan_dict) training on hardware."""
+import numpy as np
+import jax, jax.numpy as jnp
+import optax
+
+from gammagl_tpu.data import Graph, HeteroGraph
+from gammagl_tpu.models import GATModel, HGTModel
+
+rng = np.random.default_rng(0)
+n_per, n = 100, 200
+blocks = []
+for a in range(2):
+    for b in range(2):
+        p = 0.10 if a == b else 0.01
+        mask = rng.random((n_per, n_per)) < p
+        r, c = np.nonzero(mask)
+        blocks.append(np.stack([r + a * n_per, c + b * n_per]))
+ei = np.concatenate(blocks, axis=1).astype(np.int32)
+x = rng.normal(size=(n, 16)).astype(np.float32)
+y = np.repeat(np.arange(2), n_per).astype(np.int32)
+train_mask = rng.random(n) < 0.3
+
+g = Graph(x=jnp.asarray(x), edge_index=jnp.asarray(ei), num_nodes=n)
+plan = g.csr_plan(R=64, ET=64)
+
+model = GATModel(hidden_dim=8, num_class=2, heads=4, drop_rate=0.4)
+params = model.init({"params": jax.random.PRNGKey(0)}, g.x, g.edge_index)
+opt = optax.adam(5e-3)
+st = opt.init(params)
+tm = jnp.asarray(train_mask)
+
+@jax.jit
+def step(params, st, key):
+    def loss_fn(p):
+        logits = model.apply(p, g.x, g.edge_index, train=True, plan=plan,
+                             rngs={"dropout": key})
+        ls = optax.softmax_cross_entropy_with_integer_labels(
+            logits, jnp.asarray(y))
+        return jnp.where(tm, ls, 0).sum() / tm.sum()
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    up, st = opt.update(grads, st)
+    return optax.apply_updates(params, up), st, loss
+
+key = jax.random.PRNGKey(1)
+first = None
+for i in range(60):
+    key, k = jax.random.split(key)
+    params, st, loss = step(params, st, k)
+    if first is None:
+        first = float(loss)
+logits = model.apply(params, g.x, g.edge_index, plan=plan)
+pred = np.asarray(jnp.argmax(logits, -1))
+acc = float((pred[~train_mask] == y[~train_mask]).mean())
+print(f"GAT fused-dropout: loss {first:.4f} -> {float(loss):.4f}, acc {acc:.4f}")
+assert float(loss) < first and acc > 0.85
+
+# --- HGT on a typed 2-community graph
+hx = {"paper": jnp.asarray(x), "author": jnp.asarray(
+    rng.normal(size=(80, 12)).astype(np.float32))}
+writes = np.stack([rng.integers(0, 80, 400),
+                   rng.integers(0, n, 400)]).astype(np.int32)
+ei_dict = {("paper", "cites", "paper"): jnp.asarray(ei),
+           ("author", "writes", "paper"): jnp.asarray(writes)}
+meta = (["paper", "author"], list(ei_dict.keys()))
+hg = HeteroGraph()
+hg["paper"].x = hx["paper"]; hg["author"].x = hx["author"]
+for et, e in ei_dict.items():
+    hg[et].edge_index = e
+plans = hg.csr_plans(R=64, ET=64)
+
+hmodel = HGTModel(metadata=meta, hidden_channels=16, num_class=2,
+                  target_ntype="paper", heads=4)
+hparams = hmodel.init({"params": jax.random.PRNGKey(0)}, hx, ei_dict)
+hopt = optax.adam(5e-3)
+hst = hopt.init(hparams)
+
+@jax.jit
+def hstep(params, st, key):
+    def loss_fn(p):
+        logits = hmodel.apply(p, hx, ei_dict, train=True, plan_dict=plans,
+                              rngs={"dropout": key})
+        ls = optax.softmax_cross_entropy_with_integer_labels(
+            logits, jnp.asarray(y))
+        return jnp.where(tm, ls, 0).sum() / tm.sum()
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    up, st = hopt.update(grads, st)
+    return optax.apply_updates(params, up), st, loss
+
+hfirst = None
+for i in range(60):
+    key, k = jax.random.split(key)
+    hparams, hst, hloss = hstep(hparams, hst, k)
+    if hfirst is None:
+        hfirst = float(hloss)
+logits = hmodel.apply(hparams, hx, ei_dict, plan_dict=plans)
+logits_ref = hmodel.apply(hparams, hx, ei_dict)  # decomposed XLA path
+err = float(jnp.abs(logits - logits_ref).max())
+print(f"HGT plan_dict: loss {hfirst:.4f} -> {float(hloss):.4f}, "
+      f"plan-vs-xla max err {err:.2e}")
+assert float(hloss) < hfirst and err < 1e-2
+print("ATTENTION DRILL OK")

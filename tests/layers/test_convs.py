@@ -198,3 +198,48 @@ def test_gcn_conv_with_pallas_plan(tiny):
         sm._segment_matmul_pallas = orig
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_conv_zoo_plan_path_matches_coo():
+    """Every plan-aware conv must produce identical results with and
+    without the Pallas plan (sum and mean aggregation paths)."""
+    from gammagl_tpu.layers.conv import (SGConv, GINConv, APPNPConv,
+                                         GCNIIConv, ChebConv, AGNNConv,
+                                         FAGCNConv, GPRConv, MixHopConv,
+                                         SAGEConv)
+    from gammagl_tpu.ops.pallas import build_csr_plan
+
+    rng = np.random.default_rng(41)
+    n, e = 20, 80
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    ei = jnp.asarray(np.stack([src, dst]))
+    x = jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32))
+    plan = build_csr_plan(src, dst, n, R=8, ET=16)
+
+    cases = [
+        (SGConv(out_channels=5), (x, ei)),
+        (GINConv(), (x, ei)),
+        (APPNPConv(itera_k=3), (x, ei)),
+        (ChebConv(out_channels=5, K=3), (x, ei)),
+        (AGNNConv(), (x, ei)),
+        (FAGCNConv(hidden_dim=6), (x, ei)),
+        (GPRConv(K=3), (x, ei)),
+        (MixHopConv(out_channels=4, p=(0, 1, 2)), (x, ei)),
+        (SAGEConv(out_channels=5, aggr="mean"), (x, ei)),
+        (SAGEConv(out_channels=5, aggr="gcn"), (x, ei)),
+    ]
+    for conv, args in cases:
+        params = conv.init(jax.random.PRNGKey(0), *args)
+        ref = conv.apply(params, *args)
+        out = conv.apply(params, *args, plan=plan)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5,
+            err_msg=type(conv).__name__)
+
+    conv = GCNIIConv(out_channels=6)
+    params = conv.init(jax.random.PRNGKey(0), x, x, ei)
+    ref = conv.apply(params, x, x, ei)
+    out = conv.apply(params, x, x, ei, plan=plan)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5, err_msg="GCNIIConv")

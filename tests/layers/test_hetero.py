@@ -141,3 +141,79 @@ def test_rgcn_simplehgn_models():
                         heads=2, drop_rate=0.0)
     params = m2.init(jax.random.PRNGKey(0), x, ei, et)
     assert m2.apply(params, x, ei, et).shape == (6, 3)
+
+
+def test_hgt_conv_plan_dict_matches_coo():
+    """Fused per-relation flash path == decomposed XLA path (dropout off)."""
+    from gammagl_tpu.data import HeteroGraph
+
+    x_dict, ei_dict, metadata = _typed_graph()
+    g = HeteroGraph()
+    for nt, x in x_dict.items():
+        g[nt].x = x
+    for et, ei in ei_dict.items():
+        g[et].edge_index = ei
+    plans = g.csr_plans(R=8, ET=8)
+    assert set(plans) == set(ei_dict)
+
+    conv = HGTConv(out_channels=8, metadata=metadata, heads=2,
+                   dropout_rate=0.0)
+    params = conv.init(jax.random.PRNGKey(0), x_dict, ei_dict)
+    ref = conv.apply(params, x_dict, ei_dict)
+    out = conv.apply(params, x_dict, ei_dict, plan_dict=plans)
+    assert set(out) == set(ref)
+    for nt in ref:
+        np.testing.assert_allclose(np.asarray(out[nt]),
+                                   np.asarray(ref[nt]),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_han_conv_plan_dict_matches_coo():
+    from gammagl_tpu.data import HeteroGraph
+
+    x_dict, ei_dict, metadata = _typed_graph()
+    # HAN runs GAT per metapath on the SOURCE features; restrict to the
+    # same-type metapath (paper cites paper) like real metapath usage
+    ei_dict = {("paper", "cites", "paper"): ei_dict[("paper", "cites",
+                                                     "paper")]}
+    metadata = (["paper"], list(ei_dict.keys()))
+    x_dict = {"paper": x_dict["paper"]}
+    g = HeteroGraph()
+    g["paper"].x = x_dict["paper"]
+    for et, ei in ei_dict.items():
+        g[et].edge_index = ei
+    plans = g.csr_plans(R=8, ET=8)
+
+    conv = HANConv(out_channels=8, metadata=metadata, heads=2,
+                   dropout_rate=0.0)
+    params = conv.init(jax.random.PRNGKey(0), x_dict, ei_dict)
+    ref = conv.apply(params, x_dict, ei_dict)
+    out = conv.apply(params, x_dict, ei_dict, plan_dict=plans)
+    for nt in ref:
+        np.testing.assert_allclose(np.asarray(out[nt]),
+                                   np.asarray(ref[nt]),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_hgt_conv_plan_dropout_trains():
+    from gammagl_tpu.data import HeteroGraph
+
+    x_dict, ei_dict, metadata = _typed_graph()
+    g = HeteroGraph()
+    for nt, x in x_dict.items():
+        g[nt].x = x
+    for et, ei in ei_dict.items():
+        g[et].edge_index = ei
+    plans = g.csr_plans(R=8, ET=8)
+    conv = HGTConv(out_channels=8, metadata=metadata, heads=2,
+                   dropout_rate=0.5)
+    params = conv.init(jax.random.PRNGKey(0), x_dict, ei_dict)
+
+    def loss(p):
+        out = conv.apply(p, x_dict, ei_dict, train=True, plan_dict=plans,
+                         rngs={"dropout": jax.random.PRNGKey(1)})
+        return sum((v ** 2).sum() for v in out.values())
+
+    grads = jax.grad(loss)(params)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
