@@ -68,7 +68,16 @@ def run_simple_node_trainer(model, args, forward_kwargs=None,
     g, num_classes = load_node_dataset(args.dataset, args.dataset_path)
     d = device_graph(g)
     x, ei, y = d["x"], d["edge_index"], d["y"]
-    fkw = forward_kwargs or {}
+    fkw = dict(forward_kwargs or {})
+
+    # fast path: hand the model a Pallas plan when its forward takes one
+    # (the reference's use_ext auto-upgrade, mpops/torch.py:2-7)
+    import inspect
+    if ("plan" in inspect.signature(model.__call__).parameters
+            and "plan" not in fkw):
+        from gammagl_tpu.ops.pallas import build_csr_plan
+        ein = np.asarray(ei)
+        fkw["plan"] = build_csr_plan(ein[0], ein[1], int(x.shape[0]))
 
     key = jax.random.PRNGKey(args.seed)
     params = model.init({"params": key, "dropout": key}, x, ei, **fkw)
@@ -228,17 +237,21 @@ def run_hetero_trainer(make_model, args, dataset_loader=None):
 
     model = make_model(hg.metadata(), num_classes, target)
     import inspect
-    has_train = "train" in inspect.signature(model.__call__).parameters
-    tkw = {"train": True} if has_train else {}
+    sig = inspect.signature(model.__call__).parameters
+    tkw = {"train": True} if "train" in sig else {}
+    ekw = {}
+    if "plan_dict" in sig and hasattr(hg, "csr_plans"):
+        ekw["plan_dict"] = hg.csr_plans()
     key = jax.random.PRNGKey(args.seed)
-    params = model.init({"params": key, "dropout": key}, x_dict, ei_dict)
+    params = model.init({"params": key, "dropout": key}, x_dict, ei_dict,
+                        **ekw)
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
     @jax.jit
     def step(state, rng):
         def loss_fn(p):
             logits = model.apply(p, x_dict, ei_dict,
-                                 rngs={"dropout": rng}, **tkw)
+                                 rngs={"dropout": rng}, **tkw, **ekw)
             return semi_supervised_loss(logits, y, train_mask)
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
@@ -248,11 +261,11 @@ def run_hetero_trainer(make_model, args, dataset_loader=None):
         rng, k = jax.random.split(rng)
         state, loss = step(state, k)
         if epoch % 10 == 0 or epoch == args.n_epoch - 1:
-            acc = accuracy(model.apply(state.params, x_dict, ei_dict), y,
-                           test_mask)
+            acc = accuracy(model.apply(state.params, x_dict, ei_dict,
+                                       **ekw), y, test_mask)
             print(f"epoch {epoch:3d} loss {float(loss):.4f} "
                   f"test {float(acc):.4f}")
-    acc = float(accuracy(model.apply(state.params, x_dict, ei_dict), y,
-                         test_mask))
+    acc = float(accuracy(model.apply(state.params, x_dict, ei_dict, **ekw),
+                         y, test_mask))
     print(f"final test acc {acc:.4f}")
     return acc

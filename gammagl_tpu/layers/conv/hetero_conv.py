@@ -242,7 +242,7 @@ class SimpleHGNConv(MessagePassing):
 
     @nn.compact
     def __call__(self, x, edge_index, edge_type, num_nodes=None,
-                 alpha_prev=None, train=False):
+                 alpha_prev=None, train=False, plan=None):
         H, F = self.heads, self.out_channels
         if num_nodes is None:
             num_nodes = x.shape[0]
@@ -253,11 +253,42 @@ class SimpleHGNConv(MessagePassing):
         h = h.reshape(-1, H, F)
         e_emb = self.param("edge_emb", init,
                            (self.num_etypes, H * self.edge_dim))
-        e = jnp.take(e_emb, edge_type, axis=0).reshape(-1, H, self.edge_dim)
 
         a_l = self.param("att_l", init, (1, H, F))
         a_r = self.param("att_r", init, (1, H, F))
         a_e = self.param("att_e", init, (1, H, self.edge_dim))
+        if plan is not None:
+            # plan-order path: alpha MUST materialize here (it is returned
+            # for the next layer's residual blend), so this runs the
+            # padded softmax + per-head MXU bspmm rather than the flash
+            # kernel; alpha_prev/alpha are exchanged in PLAN order.
+            import numpy as np
+            from gammagl_tpu.ops.pallas import (bspmm_csr, plan_gather_dst,
+                                                plan_gather_src,
+                                                segment_softmax_padded)
+            et_pad = jnp.take(edge_type, jnp.asarray(
+                np.minimum(plan.perm, edge_type.shape[0] - 1)))
+            e = jnp.take(e_emb, et_pad, axis=0).reshape(
+                -1, H, self.edge_dim)
+            h_src = plan_gather_src(h.reshape(-1, H * F),
+                                    plan).reshape(-1, H, F)
+            h_dst = plan_gather_dst(h.reshape(-1, H * F),
+                                    plan).reshape(-1, H, F)
+            logits = ((h_src * a_l).sum(-1) + (h_dst * a_r).sum(-1)
+                      + (e * a_e).sum(-1))
+            logits = nn.leaky_relu(logits, self.negative_slope)
+            alpha = segment_softmax_padded(logits, plan)
+            if alpha_prev is not None:
+                alpha = (1 - self.beta) * alpha + self.beta * alpha_prev
+            if self.dropout_rate > 0:
+                alpha = nn.Dropout(self.dropout_rate,
+                                   deterministic=not train)(alpha)
+            out = bspmm_csr(h, alpha, plan).reshape(-1, H * F)
+            if self.residual:
+                out = out + nn.Dense(H * F, use_bias=False,
+                                     kernel_init=init)(x)
+            return out, alpha
+        e = jnp.take(e_emb, edge_type, axis=0).reshape(-1, H, self.edge_dim)
         h_src = jnp.take(h, jnp.minimum(src, h.shape[0] - 1), axis=0)
         h_dst = jnp.take(h, jnp.minimum(dst, h.shape[0] - 1), axis=0)
         logits = ((h_src * a_l).sum(-1) + (h_dst * a_r).sum(-1)

@@ -24,14 +24,15 @@ class RGCNModel(nn.Module):
     num_layers: int = 2
 
     @nn.compact
-    def __call__(self, x, edge_index, edge_type, num_nodes=None):
+    def __call__(self, x, edge_index, edge_type, num_nodes=None,
+                 plan=None):
         x = RGCNConv(self.in_channels, self.hidden_channels,
                      self.num_relations, num_bases=self.num_bases)(
-            x, edge_index, edge_type, num_nodes)
+            x, edge_index, edge_type, num_nodes, plan=plan)
         x = nn.relu(x)
         return RGCNConv(self.hidden_channels, self.num_class,
                         self.num_relations, num_bases=self.num_bases)(
-            x, edge_index, edge_type, num_nodes)
+            x, edge_index, edge_type, num_nodes, plan=plan)
 
 
 class HANModel(nn.Module):
@@ -89,7 +90,7 @@ class SimpleHGNModel(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_index, edge_type, num_nodes=None,
-                 train=False):
+                 train=False, plan=None):
         alpha = None
         for i in range(self.num_layers):
             conv = SimpleHGNConv(out_channels=self.hidden_channels,
@@ -97,6 +98,6 @@ class SimpleHGNModel(nn.Module):
                                  heads=self.heads,
                                  dropout_rate=self.drop_rate)
             x, alpha = conv(x, edge_index, edge_type, num_nodes,
-                            alpha_prev=alpha, train=train)
+                            alpha_prev=alpha, train=train, plan=plan)
             x = nn.elu(x)
         return nn.Dense(self.num_class)(x)
