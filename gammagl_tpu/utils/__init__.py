@@ -20,6 +20,7 @@ from gammagl_tpu.utils.shortest_path import shortest_path
 from gammagl_tpu.utils.smiles import from_smiles
 from gammagl_tpu.utils import manifold_math
 from gammagl_tpu.utils.unifews_log import (UniFewsLogger, ModelLogger, LayerNumLogger, F1Calculator, Stopwatch)
+from gammagl_tpu.utils.profiling import chain_time, trace, device_timer
 from gammagl_tpu.utils import gfm_utils
 from gammagl_tpu.utils.conversation import (Conversation, conv_templates,
                                             get_conv_template)
@@ -36,6 +37,9 @@ from gammagl_tpu.utils.compat_utils import (
     batched_shortest_path_distance)
 
 __all__ = [
+    "chain_time",
+    "trace",
+    "device_timer",
     "calc_A_norm_hat",
     "edge_index_to_adj_matrix",
     "get_few_shot_split",
