@@ -45,7 +45,8 @@ def main(args):
         np.asarray(graph.edge_index), node_idx=train_idx,
         sample_lists=[args.fanout1, args.fanout2],
         batch_size=args.batch_size, num_nodes=graph.num_nodes,
-        shuffle=True, seed=args.seed)
+        shuffle=True, seed=args.seed,
+        presample_chunks=args.presample_chunks)
 
     model = GraphSAGESampleModel(hidden_dim=args.hidden_dim,
                                  num_class=num_classes, num_layers=2,
@@ -54,7 +55,7 @@ def main(args):
     from functools import partial
     from gammagl_tpu.data.padding import size_bucket
 
-    def pad_batch(bs, n_id, adjs):
+    def pad_batch_ids(bs, n_id, adjs):
         """Bucket-pad blocks so jit compiles once per bucket: padded edges
         point dst to the (bucketed) size_dst -> scatter-dropped; padded
         node ids repeat the last real id (harmless gathers)."""
@@ -63,19 +64,21 @@ def main(args):
         n_id_p[:len(n_id)] = n_id
         eis, sizes = [], []
         for i, a in enumerate(adjs):
-            size_dst = bs if i == len(adjs) - 1 else size_bucket(a.size[1])
-            e_pad = size_bucket(a.edge_index.shape[1])
+            size_dst = (int(bs) if i == len(adjs) - 1
+                        else int(size_bucket(int(a.size[1]))))
+            e_pad = int(size_bucket(int(a.edge_index.shape[1])))
             ei = np.full((2, e_pad), size_dst, dtype=np.int64)
             ei[:, :a.edge_index.shape[1]] = a.edge_index
-            eis.append(jnp.asarray(ei))
+            eis.append(ei)
             sizes.append(size_dst)
-        return jnp.asarray(x_all[n_id_p]), eis, tuple(sizes)
+        return n_id_p, eis, tuple(sizes)
 
     bs, n_id, adjs = loader.sample(train_idx[:args.batch_size])
-    feats, eis, sizes = pad_batch(bs, n_id, adjs)
+    n_id_p, eis, sizes = pad_batch_ids(bs, n_id, adjs)
+    feats = jnp.asarray(x_all[n_id_p])
     key = jax.random.PRNGKey(args.seed)
     params = model.init({"params": key, "dropout": key}, feats,
-                        list(zip(eis, sizes)))
+                        list(zip([jnp.asarray(e) for e in eis], sizes)))
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
     @partial(jax.jit, static_argnames=("sizes",))
@@ -90,24 +93,51 @@ def main(args):
             loss_fn, has_aux=True)(state.params)
         return state.apply_gradients(grads), loss, logits
 
+    # TPU-native input pipeline (the gglspeedup tier, SURVEY section 2.6):
+    # features stay RESIDENT in HBM (DeviceFeatureCache) so each batch
+    # moves only node ids + edge blocks over the wire and gathers features
+    # on-device; host sampling + padding runs in a background thread
+    # (prefetch) overlapping the TPU step; per-step metrics stay on device
+    # and sync once per epoch.
+    from gammagl_tpu.loader import DeviceFeatureCache
+    from gammagl_tpu.loader.prefetch import pipeline
+    from gammagl_tpu.utils import degree
+
+    deg = np.asarray(degree(jnp.asarray(graph.edge_index[1]),
+                            graph.num_nodes))
+    fcache = DeviceFeatureCache(x_all, budget_rows=graph.num_nodes
+                                if args.device_cache else 0, score=deg)
+
+    def device_batches():
+        for bs, n_id, adjs in loader:
+            if bs < args.batch_size:
+                continue
+            n_id_p, eis, sizes = pad_batch_ids(bs, n_id, adjs)
+            feats = fcache[n_id_p]          # on-device gather (hot rows)
+            yield (feats, [jnp.asarray(e) for e in eis], sizes,
+                   jnp.asarray(y_all[n_id[:bs]]))
+
     rng = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(args.n_epoch):
         t0 = time.time()
-        tot_loss = tot_correct = tot = 0
-        for bs, n_id, adjs in loader:
-            if bs < args.batch_size:
-                continue  # keep the last-hop size static
-            feats, eis, sizes = pad_batch(bs, n_id, adjs)
-            y = jnp.asarray(y_all[n_id[:bs]])
+        losses, corrects, tot = [], [], 0
+        it = device_batches()
+        if args.prefetch:
+            it = pipeline(it, size=2)
+        for feats, eis, sizes, y in it:
             rng, step_rng = jax.random.split(rng)
             state, loss, logits = train_step(state, feats, eis, sizes, y,
                                              step_rng)
-            tot_loss += float(loss) * bs
-            tot_correct += float((jnp.argmax(logits, -1) == y).sum())
-            tot += bs
-        print(f"epoch {epoch} loss {tot_loss / tot:.4f} "
+            losses.append(loss)            # device scalars; no sync here
+            corrects.append((jnp.argmax(logits, -1) == y).sum())
+            tot += int(y.shape[0])
+        tot_loss = float(sum(losses)) / max(len(losses), 1)
+        tot_correct = float(sum(corrects))
+        print(f"epoch {epoch} loss {tot_loss:.4f} "
               f"train acc {tot_correct / tot:.4f} "
-              f"({time.time() - t0:.1f}s)", flush=True)
+              f"({time.time() - t0:.1f}s, "
+              f"cache hit {fcache.hits}/{fcache.hits + fcache.misses})",
+              flush=True)
 
 
 if __name__ == "__main__":
@@ -115,4 +145,9 @@ if __name__ == "__main__":
     parser.add_argument("--batch_size", type=int, default=512)
     parser.add_argument("--fanout1", type=int, default=25)
     parser.add_argument("--fanout2", type=int, default=10)
+    parser.add_argument("--device_cache", type=int, default=1)
+    # thread prefetch loses to serial + OpenMP presample on few-core hosts
+    # (see PERF_NOTES.md end-to-end section); enable on >4-core hosts
+    parser.add_argument("--prefetch", type=int, default=0)
+    parser.add_argument("--presample_chunks", type=int, default=4)
     main(parser.parse_args())

@@ -11,7 +11,7 @@ from gammagl_tpu.loader.random_walk import random_walk, RandomWalkLoader
 from gammagl_tpu.loader.neighbor_sampler import Adj, NeighborSamplerLoader
 from gammagl_tpu.loader.hetero_sampler import (HeteroNeighborSampler,
                                                HeteroNeighborLoader)
-from gammagl_tpu.loader.prefetch import PrefetchLoader, prefetch_to_device
+from gammagl_tpu.loader.prefetch import (PrefetchLoader, prefetch_to_device, pipeline)
 
 from gammagl_tpu.loader.feature_cache import (DeviceFeatureCache, ShardedFeatureStore)
 from gammagl_tpu.loader.rgt_loader import (ExtractNodeLoader, ExtractLinkLoader, build_structure_batch)
@@ -38,6 +38,7 @@ __all__ = [
     "HeteroNeighborLoader",
     "PrefetchLoader",
     "prefetch_to_device",
+    "pipeline",
     "ExtractNodeLoader",
     "ExtractLinkLoader",
     "build_structure_batch",

@@ -72,6 +72,10 @@ class DeviceFeatureCache:
         """Gather rows by global index: cached rows from HBM, the rest
         copied host->device (only the missing rows move)."""
         idx = np.asarray(idx)
+        if self.budget_rows == 0:       # cache disabled: pure host gather
+            self.misses += int(idx.shape[0])
+            return jax.device_put(jnp.asarray(self.features[idx]),
+                                  self.device)
         slots = self.slot_of[idx]
         hit = slots >= 0
         self.hits += int(hit.sum())

@@ -11,7 +11,35 @@ import threading
 
 import jax
 
-__all__ = ["PrefetchLoader", "prefetch_to_device"]
+__all__ = ["PrefetchLoader", "prefetch_to_device", "pipeline"]
+
+
+def pipeline(iterator, size=2):
+    """Run `iterator` in a background thread, `size` items ahead — for
+    iterators that already produce device-resident batches (e.g. via
+    DeviceFeatureCache) and carry static metadata that must NOT be
+    device_put (jit static_argnames)."""
+    q = queue.Queue(maxsize=size)
+    sentinel = object()
+    err = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except Exception as e:
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
 
 
 def prefetch_to_device(iterator, size=2, device=None):
