@@ -342,6 +342,75 @@ def _gather_rows_bwd(plan, index_kind, n_rows, v):
 gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
+def _swap_plan(plan, n_src_rows):
+    """Transpose-graph companion plan over the ORIGINAL edges (endpoint
+    roles swapped), plus the host-side lane map from swap-plan lanes to
+    forward-plan lanes (so weights given in forward-plan padded order can
+    follow). Cached per (plan, n_src_rows).
+
+    This powers the direct SpMM backward: dx = A^T (w ⊙ g) as ONE
+    gather + weighted segment reduce (one E x F read of g), instead of
+    materializing the per-edge cotangent and re-permuting it (two extra
+    E x F HBM round trips).
+    """
+    cache = getattr(plan, "_swapplans", None)
+    if cache is None:
+        cache = plan._swapplans = {}
+    entry = cache.get(n_src_rows)
+    if entry is None:
+        # operate on the plan's own valid lanes (a blocked sub-plan holds
+        # only a SUBSET of the graph's edges; its perm carries global ids,
+        # so never index by perm here)
+        valid = plan.valid
+        lanes = np.nonzero(valid)[0]              # fwd lane per local edge
+        src_o = plan.src_pad[valid].astype(np.int64)
+        dst_o = plan.row_global[valid].astype(np.int64)
+        k = len(lanes)
+        tp = build_csr_plan(dst_o, src_o, n_src_rows,
+                            num_src=plan.num_nodes, R=plan.R, ET=plan.ET)
+        # swap-plan lane -> forward-plan lane (pads -> E_pad sentinel)
+        lane_map = np.where(
+            tp.perm < k, lanes[np.minimum(tp.perm, k - 1)],
+            plan.E_pad).astype(np.int32)
+        entry = cache[n_src_rows] = (tp, lane_map)
+    return entry
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _spmm_fused(x, w_pad, plan, interpret):
+    """gather(x by src) + weighted segment reduce, with a transpose-plan
+    backward (see _swap_plan). Weights are in the plan's padded order."""
+    msg = jnp.take(x, jnp.asarray(plan.src_pad), axis=0)
+    return _segment_matmul_pallas(msg, w_pad, plan, interpret)
+
+
+def _spmm_fused_fwd(x, w_pad, plan, interpret):
+    return _spmm_fused(x, w_pad, plan, interpret), (x, w_pad)
+
+
+def _spmm_fused_bwd(plan, interpret, res, g):
+    x, w_pad = res
+    tp, lane_map = _swap_plan(plan, x.shape[0])
+    # dx[s] = sum_{e: src(e)=s} w_e g[dst_e]: the transpose-graph SpMM
+    w_ext = jnp.concatenate([w_pad, jnp.zeros(1, w_pad.dtype)])
+    w_t = jnp.take(w_ext, jnp.asarray(np.minimum(lane_map, plan.E_pad)))
+    g_rows_t = jnp.take(g.astype(x.dtype), jnp.asarray(tp.src_pad), axis=0)
+    dx = _segment_matmul_pallas(g_rows_t, w_t, tp, interpret)[:x.shape[0]]
+    # dw[e] = <x[src_e], g[dst_e]> in forward-plan order (SDDMM); dead-code
+    # eliminated by XLA when weights are constants (GCN norms)
+    rows = jnp.asarray(np.minimum(plan.row_global,
+                                  plan.nblocks * plan.R - 1))
+    g_rows = jnp.take(g, rows, axis=0)
+    msg = jnp.take(x, jnp.asarray(plan.src_pad), axis=0)
+    dw = jnp.sum(g_rows.astype(jnp.float32) * msg.astype(jnp.float32),
+                 axis=-1).astype(w_pad.dtype) * jnp.asarray(
+        plan.valid).astype(w_pad.dtype)
+    return dx, dw
+
+
+_spmm_fused.defvjp(_spmm_fused_fwd, _spmm_fused_bwd)
+
+
 class BlockedCSRPlan:
     """Per-source-block sub-plans (hashable by identity, like CSRPlan).
 
@@ -444,14 +513,11 @@ def spmm_csr(x, edge_weight, plan, interpret=False, weights_padded=False):
                 w_pad = edge_weight[i]
             else:
                 w_pad = _edge_weights_padded(edge_weight, sub, x.dtype)
-            msg = gather_rows(x, sub)
-            part = _segment_matmul(msg, w_pad, sub, interpret)
+            part = _spmm_fused(x, w_pad, sub, interpret)
             out = part if out is None else out + part
         return out[:plan.num_nodes]
     if weights_padded:
         w_pad = edge_weight
     else:
         w_pad = _edge_weights_padded(edge_weight, plan, x.dtype)
-    msg = gather_rows(x, plan)
-    out = _segment_matmul(msg, w_pad, plan, interpret)
-    return out[:plan.num_nodes]
+    return _spmm_fused(x, w_pad, plan, interpret)[:plan.num_nodes]

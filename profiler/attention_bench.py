@@ -1,4 +1,8 @@
 """GAT attention fwd+bwd at arxiv scale, fused Pallas vs decomposed XLA."""
+import os.path as osp
+import sys
+sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
+
 import time
 import numpy as np
 import jax, jax.numpy as jnp

@@ -1,4 +1,8 @@
 """HGT per-relation attention: fused plan path vs decomposed XLA, at scale."""
+import os.path as osp
+import sys
+sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
+
 import time
 import numpy as np
 import jax, jax.numpy as jnp

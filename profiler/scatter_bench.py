@@ -1,3 +1,7 @@
+import os.path as osp
+import sys
+sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
+
 import time
 import numpy as np
 import jax, jax.numpy as jnp
