@@ -22,6 +22,7 @@ class GATConv(MessagePassing):
     negative_slope: float = 0.2
     dropout_rate: float = 0.0
     add_bias: bool = True
+    dtype: object = None  # compute dtype (e.g. bf16); params stay f32
 
     @nn.compact
     def __call__(self, x, edge_index, num_nodes=None, train=False,
@@ -31,6 +32,9 @@ class GATConv(MessagePassing):
             num_nodes = x.shape[0]
         w = self.param("w", nn.initializers.truncated_normal(0.02),
                        (x.shape[-1], H * F))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            w = w.astype(self.dtype)
         x = (x @ w).reshape(-1, H, F)
         att = self.param("att", nn.initializers.truncated_normal(0.02),
                          (1, H, 2 * F))
@@ -49,7 +53,11 @@ class GATConv(MessagePassing):
                                                 plan_gather_src)
             s_src = jnp.einsum("nhf,hf->nh", x, att[0, :, :F])
             a_dst = jnp.einsum("nhf,hf->nh", x, att[0, :, F:])
-            packed = jnp.concatenate([x.reshape(-1, H * F), s_src], axis=1)
+            # the per-edge source score rides the feature gather: match the
+            # feature dtype so a bf16 gather stays bf16 (scores are recast
+            # to f32 inside the kernel)
+            packed = jnp.concatenate(
+                [x.reshape(-1, H * F), s_src.astype(x.dtype)], axis=1)
             g = plan_gather_src(packed, plan)
             keep = None
             if self.dropout_rate > 0 and train:

@@ -18,6 +18,7 @@ class GCNConv(MessagePassing):
     out_channels: int
     norm: str = "both"
     add_bias: bool = True
+    dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     @nn.compact
     def __call__(self, x, edge_index, edge_weight=None, num_nodes=None,
@@ -26,7 +27,7 @@ class GCNConv(MessagePassing):
             raise ValueError(f"invalid norm {self.norm!r}")
         if num_nodes is None:
             num_nodes = x.shape[0]
-        x = nn.Dense(self.out_channels, use_bias=False,
+        x = nn.Dense(self.out_channels, use_bias=False, dtype=self.dtype,
                      kernel_init=nn.initializers.glorot_uniform())(x)
         src, dst = edge_index[0], edge_index[1]
         if edge_weight is None:

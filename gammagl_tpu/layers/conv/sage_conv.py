@@ -18,6 +18,7 @@ class SAGEConv(MessagePassing):
     out_channels: int
     aggr: str = "mean"
     add_bias: bool = True
+    dtype: object = None  # compute dtype (e.g. bf16); params stay f32
 
     @nn.compact
     def __call__(self, feat, edge_index, num_nodes=None, plan=None):
@@ -29,7 +30,7 @@ class SAGEConv(MessagePassing):
             num_nodes = dst_feat.shape[0]
         he = nn.initializers.he_normal()
         fc_neigh = nn.Dense(self.out_channels, use_bias=False,
-                            kernel_init=he)
+                            dtype=self.dtype, kernel_init=he)
         if self.aggr == "mean":
             out = self.propagate(fc_neigh(src_feat), edge_index,
                                  num_nodes=num_nodes, aggr="mean",
@@ -46,6 +47,7 @@ class SAGEConv(MessagePassing):
                                  num_nodes=num_nodes, plan=plan)
         elif self.aggr in ("pool", "max"):
             h = nn.relu(nn.Dense(src_feat.shape[-1], use_bias=False,
+                                 dtype=self.dtype,
                                  kernel_init=he)(src_feat))
             out = self.propagate(h, edge_index, num_nodes=num_nodes,
                                  aggr="max")
@@ -54,6 +56,7 @@ class SAGEConv(MessagePassing):
             raise ValueError(f"unknown aggr {self.aggr!r}")
         if self.aggr != "gcn":
             out = out + nn.Dense(self.out_channels, use_bias=False,
+                                 dtype=self.dtype,
                                  kernel_init=he)(dst_feat)
         if self.add_bias:
             out = out + self.param("bias", nn.initializers.zeros,

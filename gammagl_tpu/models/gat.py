@@ -12,6 +12,7 @@ class GATModel(nn.Module):
     num_class: int = 7
     heads: int = 8
     drop_rate: float = 0.6
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, edge_index, num_nodes=None, train=False,
@@ -19,12 +20,12 @@ class GATModel(nn.Module):
         drop = nn.Dropout(self.drop_rate, deterministic=not train)
         x = drop(x)
         x = GATConv(self.hidden_dim, heads=self.heads,
-                    dropout_rate=self.drop_rate)(
+                    dropout_rate=self.drop_rate, dtype=self.dtype)(
             x, edge_index, num_nodes, train=train, plan=plan)
         x = nn.elu(x)
         x = drop(x)
         return GATConv(self.num_class, heads=1, concat=False,
-                       dropout_rate=self.drop_rate)(
+                       dropout_rate=self.drop_rate, dtype=self.dtype)(
             x, edge_index, num_nodes, train=train, plan=plan)
 
 

@@ -20,17 +20,20 @@ class GraphSAGEModel(nn.Module):
     num_layers: int = 2
     aggr: str = "mean"
     drop_rate: float = 0.5
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, edge_index, num_nodes=None, train=False,
                  plan=None):
         drop = nn.Dropout(self.drop_rate, deterministic=not train)
         for _ in range(self.num_layers - 1):
-            x = SAGEConv(self.hidden_dim, aggr=self.aggr)(
+            x = SAGEConv(self.hidden_dim, aggr=self.aggr,
+                         dtype=self.dtype)(
                 x, edge_index, num_nodes, plan=plan)
             x = nn.relu(x)
             x = drop(x)
-        return SAGEConv(self.num_class, aggr=self.aggr)(
+        return SAGEConv(self.num_class, aggr=self.aggr,
+                        dtype=self.dtype)(
             x, edge_index, num_nodes, plan=plan)
 
 
@@ -46,6 +49,7 @@ class GraphSAGESampleModel(nn.Module):
     num_layers: int = 2
     aggr: str = "mean"
     drop_rate: float = 0.5
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, adjs: Sequence, train=False):
@@ -54,8 +58,8 @@ class GraphSAGESampleModel(nn.Module):
             x_dst = x[:size_dst]
             dim = (self.hidden_dim if i < self.num_layers - 1
                    else self.num_class)
-            x = SAGEConv(dim, aggr=self.aggr)((x, x_dst), edge_index,
-                                              num_nodes=size_dst)
+            x = SAGEConv(dim, aggr=self.aggr, dtype=self.dtype)(
+                (x, x_dst), edge_index, num_nodes=size_dst)
             if i < self.num_layers - 1:
                 x = nn.relu(x)
                 x = drop(x)

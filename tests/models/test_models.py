@@ -91,3 +91,41 @@ def test_gin_graph_classification():
     params = model.init(jax.random.PRNGKey(0), x, ei, batch, 2)
     out = model.apply(params, x, ei, batch, 2)
     assert out.shape == (2, 2)
+
+
+def test_gcn_bf16_compute_dtype():
+    """dtype=bf16 keeps params f32, runs features bf16, stays close to
+    the f32 forward and still trains."""
+    x, ei, y = _community_graph()
+    m32 = GCNModel(hidden_dim=16, num_class=2, drop_rate=0.0)
+    mbf = GCNModel(hidden_dim=16, num_class=2, drop_rate=0.0,
+                   dtype=jnp.bfloat16)
+    params = m32.init(jax.random.PRNGKey(0), x, ei)
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert leaf.dtype == jnp.float32  # params stay f32 in both
+
+    out32 = m32.apply(params, x, ei)
+    outbf = mbf.apply(params, x.astype(jnp.bfloat16), ei)
+    # (the final f32 bias add promotes logits back to f32 — desirable)
+    np.testing.assert_allclose(np.asarray(outbf, np.float32),
+                               np.asarray(out32), rtol=0.1, atol=0.15)
+
+    opt = optax.adam(1e-2)
+    st = opt.init(params)
+
+    @jax.jit
+    def step(params, st):
+        def loss_fn(p):
+            logits = mbf.apply(p, x.astype(jnp.bfloat16), ei)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32), y).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        up, st = opt.update(grads, st)
+        return optax.apply_updates(params, up), st, loss
+
+    l0 = None
+    for _ in range(25):
+        params, st, loss = step(params, st)
+        if l0 is None:
+            l0 = float(loss)
+    assert float(loss) < l0
