@@ -23,6 +23,9 @@ class GATConv(MessagePassing):
     dropout_rate: float = 0.0
     add_bias: bool = True
     dtype: object = None  # compute dtype (e.g. bf16); params stay f32
+    remat: bool = False   # rematerialize per-head attention in the bwd
+    # (drops each head's E x F residuals; one extra fused pass per head.
+    #  Turn on for full-batch training on multi-million-edge graphs.)
 
     @nn.compact
     def __call__(self, x, edge_index, num_nodes=None, train=False,
@@ -65,13 +68,27 @@ class GATConv(MessagePassing):
                 kp = 1.0 - self.dropout_rate
                 keep = jax.random.bernoulli(
                     rng, kp, (plan.E_pad, H)).astype(jnp.float32) / kp
+
+            def head(s, a, m, k):
+                return flash_edge_attention(s, a, m, plan,
+                                            self.negative_slope,
+                                            keep_pad=k)
+
+            def head_nokeep(s, a, m):
+                return flash_edge_attention(s, a, m, plan,
+                                            self.negative_slope)
+
+            if self.remat:
+                head = jax.checkpoint(head)
+                head_nokeep = jax.checkpoint(head_nokeep)
             out = jnp.stack(
-                [flash_edge_attention(
-                    g[:, H * F + h],
-                    a_dst[:, h],
-                    jax.lax.slice_in_dim(g, h * F, (h + 1) * F, axis=1),
-                    plan, self.negative_slope,
-                    keep_pad=None if keep is None else keep[:, h])
+                [head_nokeep(
+                    g[:, H * F + h], a_dst[:, h],
+                    jax.lax.slice_in_dim(g, h * F, (h + 1) * F, axis=1))
+                 if keep is None else
+                 head(g[:, H * F + h], a_dst[:, h],
+                      jax.lax.slice_in_dim(g, h * F, (h + 1) * F, axis=1),
+                      keep[:, h])
                  for h in range(H)], axis=1)
         else:
             src, dst = edge_index[0], edge_index[1]

@@ -13,6 +13,7 @@ class GATModel(nn.Module):
     heads: int = 8
     drop_rate: float = 0.6
     dtype: object = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, edge_index, num_nodes=None, train=False,
@@ -20,12 +21,14 @@ class GATModel(nn.Module):
         drop = nn.Dropout(self.drop_rate, deterministic=not train)
         x = drop(x)
         x = GATConv(self.hidden_dim, heads=self.heads,
-                    dropout_rate=self.drop_rate, dtype=self.dtype)(
+                    dropout_rate=self.drop_rate, dtype=self.dtype,
+                    remat=self.remat)(
             x, edge_index, num_nodes, train=train, plan=plan)
         x = nn.elu(x)
         x = drop(x)
         return GATConv(self.num_class, heads=1, concat=False,
-                       dropout_rate=self.drop_rate, dtype=self.dtype)(
+                       dropout_rate=self.drop_rate, dtype=self.dtype,
+                       remat=self.remat)(
             x, edge_index, num_nodes, train=train, plan=plan)
 
 

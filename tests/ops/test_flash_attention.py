@@ -242,3 +242,31 @@ def test_gat_conv_fused_dropout_trains():
     a = conv0.apply(params, x, ei, train=True, plan=plan)
     b = conv0.apply(params, x, ei, plan=plan)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_gat_conv_remat_matches():
+    """remat=True must be numerically identical (values and grads)."""
+    from gammagl_tpu.layers.conv import GATConv
+    rng = np.random.default_rng(61)
+    n, e = 16, 60
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    ei = jnp.asarray(np.stack([src, dst]))
+    x = jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32))
+    plan = build_csr_plan(src, dst, n, R=8, ET=16)
+
+    conv = GATConv(out_channels=4, heads=2, dropout_rate=0.0)
+    conv_r = GATConv(out_channels=4, heads=2, dropout_rate=0.0, remat=True)
+    params = conv.init(jax.random.PRNGKey(0), x, ei)
+    a = conv.apply(params, x, ei, plan=plan)
+    b = conv_r.apply(params, x, ei, plan=plan)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    g1 = jax.grad(lambda p: (conv.apply(p, x, ei, plan=plan)**2).sum())(
+        params)
+    g2 = jax.grad(lambda p: (conv_r.apply(p, x, ei, plan=plan)**2).sum())(
+        params)
+    for u, v in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                   rtol=1e-5, atol=1e-6)
