@@ -129,6 +129,7 @@ class HGTConv(nn.Module):
     metadata: Tuple
     heads: int = 1
     dropout_rate: float = 0.2
+    dtype: object = None  # compute dtype (e.g. bf16); params stay f32
 
     @nn.compact
     def __call__(self, x_dict, edge_index_dict, num_nodes_dict=None,
@@ -143,11 +144,11 @@ class HGTConv(nn.Module):
             if nt not in x_dict:
                 continue
             x = x_dict[nt]
-            k_dict[nt] = nn.Dense(H * D, kernel_init=init,
+            k_dict[nt] = nn.Dense(H * D, kernel_init=init, dtype=self.dtype,
                                   name=f"k__{nt}")(x).reshape(-1, H, D)
-            q_dict[nt] = nn.Dense(H * D, kernel_init=init,
+            q_dict[nt] = nn.Dense(H * D, kernel_init=init, dtype=self.dtype,
                                   name=f"q__{nt}")(x).reshape(-1, H, D)
-            v_dict[nt] = nn.Dense(H * D, kernel_init=init,
+            v_dict[nt] = nn.Dense(H * D, kernel_init=init, dtype=self.dtype,
                                   name=f"v__{nt}")(x).reshape(-1, H, D)
 
         out_lists = {nt: [] for nt in x_dict}
@@ -163,6 +164,9 @@ class HGTConv(nn.Module):
             src, dst = ei[0], ei[1]
             n_dst = (num_nodes_dict[dst_t] if num_nodes_dict
                      else x_dict[dst_t].shape[0])
+            if self.dtype is not None:
+                a_rel = a_rel.astype(self.dtype)
+                m_rel = m_rel.astype(self.dtype)
             k = jnp.einsum("nhd,hde->nhe", k_dict[src_t], a_rel)
             v = jnp.einsum("nhd,hde->nhe", v_dict[src_t], m_rel)
             plan = plan_dict.get(et) if plan_dict else None

@@ -62,6 +62,7 @@ class HGTModel(nn.Module):
     target_ntype: str
     heads: int = 4
     num_layers: int = 2
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x_dict, edge_index_dict, num_nodes_dict=None,
@@ -73,7 +74,7 @@ class HGTModel(nn.Module):
         for i in range(self.num_layers):
             out = HGTConv(out_channels=self.hidden_channels,
                           metadata=self.metadata, heads=self.heads,
-                          name=f"hgt_{i}")(
+                          dtype=self.dtype, name=f"hgt_{i}")(
                 h_dict, edge_index_dict, num_nodes_dict, train=train,
                 plan_dict=plan_dict)
             h_dict = {**h_dict, **out}
