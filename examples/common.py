@@ -71,9 +71,11 @@ def run_simple_node_trainer(model, args, forward_kwargs=None,
     fkw = dict(forward_kwargs or {})
 
     # fast path: hand the model a Pallas plan when its forward takes one
-    # (the reference's use_ext auto-upgrade, mpops/torch.py:2-7)
+    # (the reference's use_ext auto-upgrade, mpops/torch.py:2-7). TPU
+    # only: off-TPU the kernels would run in slow interpret mode.
     import inspect
-    if ("plan" in inspect.signature(model.__call__).parameters
+    if (jax.default_backend() == "tpu"
+            and "plan" in inspect.signature(model.__call__).parameters
             and "plan" not in fkw):
         from gammagl_tpu.ops.pallas import build_csr_plan
         ein = np.asarray(ei)
@@ -240,7 +242,8 @@ def run_hetero_trainer(make_model, args, dataset_loader=None):
     sig = inspect.signature(model.__call__).parameters
     tkw = {"train": True} if "train" in sig else {}
     ekw = {}
-    if "plan_dict" in sig and hasattr(hg, "csr_plans"):
+    if ("plan_dict" in sig and hasattr(hg, "csr_plans")
+            and jax.default_backend() == "tpu"):
         ekw["plan_dict"] = hg.csr_plans()
     key = jax.random.PRNGKey(args.seed)
     params = model.init({"params": key, "dropout": key}, x_dict, ei_dict,

@@ -135,11 +135,15 @@ class HeteroGraph:
         `plan_dict` to the hetero convs (HGTConv/HANConv). Tile defaults
         are smaller than the homogeneous Graph default because per-type
         subgraphs are typically much sparser."""
-        cache = getattr(self, "_csr_plans", None)
+        all_caches = getattr(self, "_csr_plans", None)
+        if all_caches is None:
+            all_caches = {}
+            object.__setattr__(self, "_csr_plans", all_caches)
+        cache = all_caches.get((R, ET))
         if cache is None:
             import numpy as _np
             from gammagl_tpu.ops.pallas import build_csr_plan
-            cache = {}
+            cache = all_caches[(R, ET)] = {}
             for et, store in self._edge_stores.items():
                 ei = store._store.get("edge_index")
                 if ei is None:
@@ -152,7 +156,6 @@ class HeteroGraph:
                     continue
                 cache[et] = build_csr_plan(ei[0], ei[1], n_dst,
                                            num_src=n_src, R=R, ET=ET)
-            object.__setattr__(self, "_csr_plans", cache)
         return cache
 
     @property

@@ -64,10 +64,10 @@ class GATConv(MessagePassing):
             g = plan_gather_src(packed, plan)
             keep = None
             if self.dropout_rate > 0 and train:
-                rng = self.make_rng("dropout")
-                kp = 1.0 - self.dropout_rate
-                keep = jax.random.bernoulli(
-                    rng, kp, (plan.E_pad, H)).astype(jnp.float32) / kp
+                from gammagl_tpu.ops.pallas import attention_keep_mask
+                keep = attention_keep_mask(self.make_rng("dropout"),
+                                           self.dropout_rate,
+                                           (plan.E_pad, H))
 
             def head(s, a, m, k):
                 return flash_edge_attention(s, a, m, plan,
@@ -160,10 +160,10 @@ class GATV2Conv(MessagePassing):
             e = jnp.einsum("ehf,hf->eh", feat, att[0])
             keep = None
             if self.dropout_rate > 0 and train:
-                rng = self.make_rng("dropout")
-                kp = 1.0 - self.dropout_rate
-                keep = jax.random.bernoulli(
-                    rng, kp, (plan.E_pad, H)).astype(jnp.float32) / kp
+                from gammagl_tpu.ops.pallas import attention_keep_mask
+                keep = attention_keep_mask(self.make_rng("dropout"),
+                                           self.dropout_rate,
+                                           (plan.E_pad, H))
             out = jnp.stack(
                 [flash_softmax_spmm(
                     e[:, h],

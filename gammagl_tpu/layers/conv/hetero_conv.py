@@ -187,10 +187,10 @@ class HGTConv(nn.Module):
                 score = ((q_e * k_e).sum(-1) * rel_pri / (D ** 0.5))
                 keep = None
                 if self.dropout_rate > 0 and train:
-                    rng = self.make_rng("dropout")
-                    kp = 1.0 - self.dropout_rate
-                    keep = jax.random.bernoulli(
-                        rng, kp, (plan.E_pad, H)).astype(jnp.float32) / kp
+                    from gammagl_tpu.ops.pallas import attention_keep_mask
+                    keep = attention_keep_mask(self.make_rng("dropout"),
+                                               self.dropout_rate,
+                                               (plan.E_pad, H))
                 out = jnp.stack(
                     [flash_softmax_spmm(
                         score[:, h],

@@ -14,11 +14,14 @@ import jax
 __all__ = ["PrefetchLoader", "prefetch_to_device", "pipeline"]
 
 
-def pipeline(iterator, size=2):
-    """Run `iterator` in a background thread, `size` items ahead — for
-    iterators that already produce device-resident batches (e.g. via
-    DeviceFeatureCache) and carry static metadata that must NOT be
-    device_put (jit static_argnames)."""
+def pipeline(iterator, size=2, transform=None):
+    """Run `iterator` in a background thread, `size` items ahead.
+
+    `transform` (applied in the worker thread) defaults to identity — use
+    it for host-side work you want off the consumer's critical path. Use
+    the bare form for iterators that already produce device-resident
+    batches (e.g. via DeviceFeatureCache) carrying static metadata that
+    must NOT be device_put (jit static_argnames)."""
     q = queue.Queue(maxsize=size)
     sentinel = object()
     err = []
@@ -26,8 +29,10 @@ def pipeline(iterator, size=2):
     def worker():
         try:
             for item in iterator:
+                if transform is not None:
+                    item = transform(item)
                 q.put(item)
-        except Exception as e:
+        except Exception as e:  # surface in consumer thread
             err.append(e)
         finally:
             q.put(sentinel)
@@ -45,29 +50,8 @@ def pipeline(iterator, size=2):
 def prefetch_to_device(iterator, size=2, device=None):
     """Generator wrapping `iterator`; keeps `size` batches resident
     on device ahead of the consumer."""
-    q = queue.Queue(maxsize=size)
-    sentinel = object()
-    err = []
-
-    def worker():
-        try:
-            for item in iterator:
-                item = jax.device_put(item, device)
-                q.put(item)
-        except Exception as e:  # surface in consumer thread
-            err.append(e)
-        finally:
-            q.put(sentinel)
-
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    return pipeline(iterator, size,
+                    transform=lambda item: jax.device_put(item, device))
 
 
 class PrefetchLoader:

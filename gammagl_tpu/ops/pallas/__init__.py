@@ -18,6 +18,7 @@ from gammagl_tpu.ops.pallas.block_pair import (  # noqa: F401
 from gammagl_tpu.ops.pallas.flash_attention import (  # noqa: F401
     flash_edge_attention,
     flash_softmax_spmm,
+    attention_keep_mask,
 )
 from gammagl_tpu.ops.pallas.attention import (  # noqa: F401
     plan_gather_src,
@@ -30,5 +31,6 @@ __all__ = ["CSRPlan", "BlockedCSRPlan", "build_csr_plan",
            "build_csr_plan_blocked", "segment_sum_csr", "spmm_csr",
            "pad_edge_weights", "gather_rows", "plan_gather_src",
            "plan_gather_dst", "segment_softmax_padded", "bspmm_csr",
-           "flash_edge_attention", "flash_softmax_spmm", "BlockPairPlan",
+           "flash_edge_attention", "flash_softmax_spmm",
+           "attention_keep_mask", "BlockPairPlan",
            "build_block_pair_plan", "spmm_block_pair"]

@@ -40,7 +40,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gammagl_tpu.ops.pallas.segment_matmul import CSRPlan
 
-__all__ = ["flash_edge_attention", "flash_softmax_spmm"]
+__all__ = ["flash_edge_attention", "flash_softmax_spmm",
+           "attention_keep_mask"]
+
+
+def attention_keep_mask(rng, rate, shape):
+    """Pre-scaled fused-dropout weights for `keep_pad`: values
+    {0, 1/(1-rate)} of the given shape ((E_pad,) or (E_pad, H))."""
+    kp = 1.0 - rate
+    return jax.random.bernoulli(rng, kp, shape).astype(jnp.float32) / kp
 
 _NEG = -1e30  # -inf stand-in that survives exp/rescale arithmetic
 

@@ -368,10 +368,14 @@ def _swap_plan(plan, n_src_rows):
         k = len(lanes)
         tp = build_csr_plan(dst_o, src_o, n_src_rows,
                             num_src=plan.num_nodes, R=plan.R, ET=plan.ET)
-        # swap-plan lane -> forward-plan lane (pads -> E_pad sentinel)
-        lane_map = np.where(
-            tp.perm < k, lanes[np.minimum(tp.perm, k - 1)],
-            plan.E_pad).astype(np.int32)
+        # swap-plan lane -> forward-plan lane (pads -> E_pad sentinel);
+        # k == 0 (empty relation / empty bucket): every lane is a pad
+        if k == 0:
+            lane_map = np.full(tp.E_pad, plan.E_pad, np.int32)
+        else:
+            lane_map = np.where(
+                tp.perm < k, lanes[np.minimum(tp.perm, k - 1)],
+                plan.E_pad).astype(np.int32)
         entry = cache[n_src_rows] = (tp, lane_map)
     return entry
 

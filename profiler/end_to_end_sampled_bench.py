@@ -36,8 +36,7 @@ def main():
     ap.add_argument("--presample_chunks", type=int, default=8)
     args = ap.parse_args()
 
-    from gammagl_tpu.loader import (DeviceFeatureCache, NodeLoader,
-                                    pipeline)
+    from gammagl_tpu.loader import DeviceFeatureCache, pipeline
     from gammagl_tpu.data.padding import size_bucket
     from gammagl_tpu.models import GraphSAGESampleModel
     from gammagl_tpu.train import TrainState
@@ -50,22 +49,11 @@ def main():
     n_batches = args.batches or args.nodes // args.batch_size
     seeds = rng.permutation(args.nodes)[:n_batches * args.batch_size]
 
-    from gammagl_tpu.sampler import NeighborSampler
-    sampler = NeighborSampler(ei, args.nodes, [25, 10], seed=0)
     fcache = DeviceFeatureCache(x_all, budget_rows=args.nodes)
 
     model = GraphSAGESampleModel(hidden_dim=64, num_class=args.classes,
                                  num_layers=2, drop_rate=0.0)
 
-    def pad(out, bs):
-        n_pad = int(size_bucket(len(out.node)))
-        n_id_p = np.full(n_pad, out.node[-1], dtype=np.int64)
-        n_id_p[:len(out.node)] = out.node
-        # NeighborSampler returns (node, row, col, edge, batch); rebuild
-        # two bipartite hops from num_sampled markers
-        return n_id_p
-
-    # Use the layered legacy API for bipartite blocks
     from gammagl_tpu.loader import NeighborSamplerLoader
     loader = NeighborSamplerLoader(ei, node_idx=seeds,
                                    sample_lists=[25, 10],

@@ -174,3 +174,18 @@ def test_spmm_csr_vjp_bipartite_rows():
     dx = np.zeros((n_src, f), np.float32)
     np.add.at(dx, src, np.asarray(w)[:, None] * 2 * out[dst])
     np.testing.assert_allclose(np.asarray(g), dx, rtol=1e-3, atol=1e-4)
+
+
+def test_spmm_csr_vjp_zero_edge_plan():
+    """Empty plans (isolated bucket / empty relation) must backprop to
+    zeros, not crash (regression: _swap_plan IndexError at k=0)."""
+    from gammagl_tpu.ops.pallas import build_csr_plan, spmm_csr
+
+    plan = build_csr_plan(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                          10, R=8, ET=16)
+    x = jnp.ones((10, 4), jnp.float32)
+    w = jnp.zeros((0,), jnp.float32)
+    out = spmm_csr(x, w, plan)
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+    g = jax.grad(lambda x: (spmm_csr(x, w, plan) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), 0.0)
