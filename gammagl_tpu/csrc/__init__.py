@@ -110,6 +110,24 @@ def ptr2ind_c(ptr):
     return out
 
 
+def _caps(num_seeds, fanouts, n_nodes, n_edges):
+    """Tight hop-sum output bounds. The old bounds (node_cap * max_fanout,
+    or the full edge count) over-allocated ~20x at Reddit scale — the
+    allocation + page faulting dominated the sample call itself."""
+    frontier = int(num_seeds)
+    ncap = frontier
+    ecap = 0
+    for f in fanouts:
+        f = int(f)
+        e_h = int(n_edges) if f < 0 else frontier * f
+        ecap += e_h
+        frontier = min(e_h, int(n_nodes))
+        ncap += frontier
+    return (min(max(ncap, int(num_seeds) + 1),
+                int(n_nodes) + int(num_seeds)),
+            max(ecap, 1))
+
+
 def neighbor_sample_c(colptr, row, edge_perm, seeds, fanouts, replace,
                       rng_seed, node_cap=None, edge_cap=None):
     """Returns (nodes, rows, cols, edges, hop_nodes, hop_edges)."""
@@ -117,16 +135,12 @@ def neighbor_sample_c(colptr, row, edge_perm, seeds, fanouts, replace,
     colptr, row = _as_i64(colptr), _as_i64(row)
     edge_perm = _as_i64(edge_perm)
     seeds, fanouts = _as_i64(seeds), _as_i64(fanouts)
+    ncap_auto, ecap_auto = _caps(len(seeds), fanouts, len(colptr) - 1,
+                                 len(row))
     if node_cap is None:
-        cap = len(seeds)
-        for f in fanouts:
-            cap = cap * (1 + (int(f) if f >= 0 else 0))
-        node_cap = min(max(cap, len(seeds) + 1), len(colptr) - 1 + len(seeds))
-        if (fanouts < 0).any():
-            node_cap = len(colptr) - 1 + len(seeds)
+        node_cap = ncap_auto
     if edge_cap is None:
-        edge_cap = max(node_cap * max(
-            [int(f) for f in fanouts if f >= 0] + [1]), len(row))
+        edge_cap = ecap_auto
     nodes = np.empty(node_cap, np.int64)
     rows = np.empty(edge_cap, np.int64)
     cols = np.empty(edge_cap, np.int64)
@@ -160,14 +174,8 @@ def neighbor_sample_many_c(colptr, row, edge_perm, seed_batches, fanouts,
     seeds = _as_i64(np.concatenate([np.asarray(b) for b in seed_batches]))
     seeds_ptr = _as_i64(np.cumsum([0] + [len(b) for b in seed_batches]))
     max_seeds = max(len(b) for b in seed_batches)
-    cap = max_seeds
-    for f in fanouts:
-        cap = cap * (1 + (int(f) if f >= 0 else 0))
-    node_cap = min(max(cap, max_seeds + 1), len(colptr) - 1 + max_seeds)
-    if (fanouts < 0).any():
-        node_cap = len(colptr) - 1 + max_seeds
-    edge_cap = max(node_cap * max(
-        [int(f) for f in fanouts if f >= 0] + [1]), 1)
+    node_cap, edge_cap = _caps(max_seeds, fanouts, len(colptr) - 1,
+                               len(row))
     H = len(fanouts)
     nodes = np.empty(B * node_cap, np.int64)
     rows = np.empty(B * edge_cap, np.int64)
