@@ -15,6 +15,10 @@ from gammagl_tpu.parallel.halo import (HaloPartition, build_halo_partition,
                                        make_halo_spmm, reorder_bandwidth)
 
 from gammagl_tpu.parallel.strategies import (pipeline_apply, make_feature_sharded_spmm, relation_expert_spmm)
+from gammagl_tpu.parallel.full_graph import (pad_nodes, shard_nodes,
+                                             sign_precompute,
+                                             make_partitioned_gcn_train,
+                                             estimate_hbm_gb)
 
 __all__ = [
     "make_mesh",
@@ -34,4 +38,9 @@ __all__ = [
     "pipeline_apply",
     "make_feature_sharded_spmm",
     "relation_expert_spmm",
+    "pad_nodes",
+    "shard_nodes",
+    "sign_precompute",
+    "make_partitioned_gcn_train",
+    "estimate_hbm_gb",
 ]

@@ -1,0 +1,164 @@
+"""Memory-budgeted full-graph training at papers100M scale.
+
+The reference has no multi-device training at all (SURVEY.md §2.10); its
+largest-graph recipe is host-side neighbor sampling. This module is the
+TPU-native full-graph tier: nodes stay **sharded over the mesh for the
+whole run** — features, activations, labels, logits all live as
+`P('dp')`-sharded arrays; only the per-layer halo exchange
+(`make_halo_spmm`) moves boundary rows over ICI. Everything else (dense
+layers, loss, optimizer) is plain jnp under `jit`, so the GSPMD
+partitioner keeps it local to each shard.
+
+Two recipes, matching the BASELINE papers100M configs ("GCN/SIGN on
+ogbn-papers100M edge-partitioned"):
+
+* `make_partitioned_gcn_train` — an L-layer GCN whose train step never
+  materializes an unsharded activation. Memory knobs:
+    - `compute_dtype=bfloat16`: activations and the halo traffic run
+      bf16 (params and the optimizer stay f32),
+    - `remat=True`: each layer is `jax.checkpoint`-ed, so backward
+      holds one layer's activations at a time (the halo exchange is
+      recomputed, trading one extra all_to_all for O(L) memory).
+* `sign_precompute` — K halo-SpMM sweeps produce [X, AX, ..., A^K X]
+  as node-sharded (optionally bf16) operands; training then needs NO
+  graph at all (an MLP over the concatenated operands, embarrassingly
+  data-parallel). This is the practical single-pass recipe for graphs
+  whose edge list dwarfs HBM.
+
+`estimate_hbm_gb` sizes a config before launch (the reference has no
+analog; at 111M nodes the difference between f32 and bf16 activations
+is the difference between fitting and OOM).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gammagl_tpu.parallel.halo import (HaloPartition, build_halo_partition,
+                                       make_halo_spmm)
+
+__all__ = ["pad_nodes", "shard_nodes", "sign_precompute",
+           "make_partitioned_gcn_train", "estimate_hbm_gb"]
+
+
+def pad_nodes(arr, part: HaloPartition, fill=0):
+    """Pad a per-node array (N, ...) to the partition's (P*rows_per, ...)."""
+    arr = np.asarray(arr)
+    total = part.num_parts * part.rows_per
+    pad = [(0, total - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad, constant_values=fill)
+
+
+def shard_nodes(arr, mesh, part: HaloPartition, axis="dp", fill=0,
+                dtype=None):
+    """Pad + device_put a per-node array sharded along the node dim."""
+    out = pad_nodes(arr, part, fill)
+    if dtype is not None:
+        out = out.astype(dtype)
+    return jax.device_put(jnp.asarray(out), NamedSharding(mesh, P(axis)))
+
+
+def sign_precompute(mesh, part: HaloPartition, x_sharded, num_hops,
+                    store_dtype=jnp.bfloat16, axis="dp"):
+    """K sweeps of the halo SpMM: returns [X, AX, ..., A^K X], each
+    node-sharded and cast to `store_dtype` (reference SIGN transform:
+    gammagl/transforms/sign.py:7, which materializes dense scipy powers —
+    impossible at papers100M; here each sweep is one all_to_all + local
+    segment-sum, and the graph can be dropped afterwards)."""
+    spmm = jax.jit(make_halo_spmm(mesh, part, axis))
+    ops = [x_sharded.astype(store_dtype)]
+    h = x_sharded
+    for _ in range(num_hops):
+        h = spmm(h)
+        ops.append(h.astype(store_dtype))
+    return ops
+
+
+def _glorot(rng, fan_in, fan_out):
+    s = np.sqrt(6.0 / (fan_in + fan_out))
+    return jnp.asarray(rng.uniform(-s, s, (fan_in, fan_out)), jnp.float32)
+
+
+def make_partitioned_gcn_train(mesh, part: HaloPartition, feat_dim,
+                               hidden_dim, num_classes, num_layers=2,
+                               compute_dtype=jnp.bfloat16, remat=True,
+                               learning_rate=1e-2, weight_decay=0.0,
+                               seed=0, axis="dp"):
+    """Build (params, opt_state, train_step, eval_logits) for an L-layer
+    GCN over a halo partition.
+
+    The train step's signature is
+        train_step(params, opt_state, x, y, mask) -> (params, opt_state, loss)
+    where x is (P*rows_per, F) sharded P(axis), y/mask are (P*rows_per,)
+    sharded P(axis) (mask is 0 on pads and non-train rows). Params are
+    replicated f32; activations run in `compute_dtype`.
+    """
+    spmm = make_halo_spmm(mesh, part, axis)
+    rng = np.random.default_rng(seed)
+    dims = [feat_dim] + [hidden_dim] * (num_layers - 1) + [num_classes]
+    params = {f"w{i}": _glorot(rng, dims[i], dims[i + 1])
+              for i in range(num_layers)}
+    params.update({f"b{i}": jnp.zeros(dims[i + 1], jnp.float32)
+                   for i in range(num_layers)})
+    params = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P())), params)
+
+    opt = optax.adamw(learning_rate, weight_decay=weight_decay)
+    opt_state = opt.init(params)
+
+    def layer(p, i, h):
+        # halo traffic rides in compute_dtype; the f32 edge weights make
+        # the segment accumulation f32 — cast back down for the matmul
+        h = spmm(h).astype(compute_dtype)
+        w = p[f"w{i}"].astype(compute_dtype)
+        b = p[f"b{i}"].astype(compute_dtype)
+        return h @ w + b
+
+    if remat:
+        layer = jax.checkpoint(layer, static_argnums=(1,))
+
+    def forward(p, x):
+        h = x.astype(compute_dtype)
+        for i in range(num_layers):
+            h = layer(p, i, h)
+            if i < num_layers - 1:
+                h = jax.nn.relu(h)
+        return h.astype(jnp.float32)  # logits f32 for the loss
+
+    def loss_fn(p, x, y, mask):
+        logits = forward(p, x)
+        ls = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+        m = mask.astype(jnp.float32)
+        return (ls * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+    @jax.jit
+    def train_step(p, opt_state, x, y, mask):
+        loss, grads = jax.value_and_grad(loss_fn)(p, x, y, mask)
+        updates, opt_state = opt.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, loss
+
+    eval_logits = jax.jit(forward)
+    return params, opt_state, train_step, eval_logits
+
+
+def estimate_hbm_gb(num_nodes, feat_dim, hidden_dim, num_layers,
+                    num_parts, avg_degree, compute_dtype=jnp.bfloat16,
+                    remat=True):
+    """Rough per-chip HBM for `make_partitioned_gcn_train` (features +
+    activations + halo buffers + edge shard), in GB. Params/optimizer are
+    negligible for GCN-sized models. Use to pick `num_parts` before
+    committing to a pod slice."""
+    rows = -(-num_nodes // num_parts)
+    bytes_c = jnp.dtype(compute_dtype).itemsize
+    feats = rows * feat_dim * bytes_c
+    # live activations: remat keeps ~2 layers' worth, else all L
+    live = 2 if remat else num_layers + 1
+    acts = live * rows * hidden_dim * bytes_c
+    # halo table: worst case every peer needs the full boundary ~ rows
+    halo = rows * max(feat_dim, hidden_dim) * bytes_c
+    edges = (num_nodes * avg_degree // num_parts) * (2 * 4 + 4)
+    return (feats + acts + halo + edges) / 1e9
