@@ -33,14 +33,18 @@ class GATConv(MessagePassing):
         H, F = self.heads, self.out_channels
         if num_nodes is None:
             num_nodes = x.shape[0]
+        from gammagl_tpu.utils.compute_dtype import resolve_dtype
+        dtype = resolve_dtype(self.dtype)
         w = self.param("w", nn.initializers.truncated_normal(0.02),
                        (x.shape[-1], H * F))
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
-            w = w.astype(self.dtype)
+        if dtype is not None:
+            x = x.astype(dtype)
+            w = w.astype(dtype)
         x = (x @ w).reshape(-1, H, F)
         att = self.param("att", nn.initializers.truncated_normal(0.02),
                          (1, H, 2 * F))
+        if dtype is not None:
+            att = att.astype(dtype)
         if plan is not None:
             # Fused fast path: GAT's additive score splits per endpoint
             # (e = <att_src, x_src> + <att_dst, x_dst>), so the whole
@@ -127,6 +131,7 @@ class GATV2Conv(MessagePassing):
     dropout_rate: float = 0.0
     add_bias: bool = True
     share_weights: bool = False
+    dtype: object = None  # compute dtype (e.g. bf16); params stay f32
 
     @nn.compact
     def __call__(self, x, edge_index, num_nodes=None, train=False,
@@ -134,13 +139,17 @@ class GATV2Conv(MessagePassing):
         H, F = self.heads, self.out_channels
         if num_nodes is None:
             num_nodes = x.shape[0]
-        lin_l = nn.Dense(H * F, use_bias=False,
+        from gammagl_tpu.utils.compute_dtype import resolve_dtype
+        dtype = resolve_dtype(self.dtype)
+        lin_l = nn.Dense(H * F, use_bias=False, dtype=dtype,
                          kernel_init=nn.initializers.glorot_uniform())
         lin_r = lin_l if self.share_weights else nn.Dense(
-            H * F, use_bias=False,
+            H * F, use_bias=False, dtype=dtype,
             kernel_init=nn.initializers.glorot_uniform())
         att = self.param("att", nn.initializers.truncated_normal(0.02),
                          (1, H, F))
+        if dtype is not None:
+            att = att.astype(dtype)
         x_l = lin_l(x).reshape(-1, H, F)
         x_r = lin_r(x).reshape(-1, H, F)
         if plan is not None:

@@ -27,7 +27,9 @@ class GCNConv(MessagePassing):
             raise ValueError(f"invalid norm {self.norm!r}")
         if num_nodes is None:
             num_nodes = x.shape[0]
-        x = nn.Dense(self.out_channels, use_bias=False, dtype=self.dtype,
+        from gammagl_tpu.utils.compute_dtype import resolve_dtype
+        dtype = resolve_dtype(self.dtype)
+        x = nn.Dense(self.out_channels, use_bias=False, dtype=dtype,
                      kernel_init=nn.initializers.glorot_uniform())(x)
         src, dst = edge_index[0], edge_index[1]
         if edge_weight is None:

@@ -136,6 +136,8 @@ class HGTConv(nn.Module):
                  train=False, plan_dict=None):
         H = self.heads
         D = self.out_channels // H
+        from gammagl_tpu.utils.compute_dtype import resolve_dtype
+        dtype = resolve_dtype(self.dtype)
         init = nn.initializers.glorot_uniform()
         ntypes, etypes = self.metadata
 
@@ -144,11 +146,11 @@ class HGTConv(nn.Module):
             if nt not in x_dict:
                 continue
             x = x_dict[nt]
-            k_dict[nt] = nn.Dense(H * D, kernel_init=init, dtype=self.dtype,
+            k_dict[nt] = nn.Dense(H * D, kernel_init=init, dtype=dtype,
                                   name=f"k__{nt}")(x).reshape(-1, H, D)
-            q_dict[nt] = nn.Dense(H * D, kernel_init=init, dtype=self.dtype,
+            q_dict[nt] = nn.Dense(H * D, kernel_init=init, dtype=dtype,
                                   name=f"q__{nt}")(x).reshape(-1, H, D)
-            v_dict[nt] = nn.Dense(H * D, kernel_init=init, dtype=self.dtype,
+            v_dict[nt] = nn.Dense(H * D, kernel_init=init, dtype=dtype,
                                   name=f"v__{nt}")(x).reshape(-1, H, D)
 
         out_lists = {nt: [] for nt in x_dict}
@@ -164,9 +166,9 @@ class HGTConv(nn.Module):
             src, dst = ei[0], ei[1]
             n_dst = (num_nodes_dict[dst_t] if num_nodes_dict
                      else x_dict[dst_t].shape[0])
-            if self.dtype is not None:
-                a_rel = a_rel.astype(self.dtype)
-                m_rel = m_rel.astype(self.dtype)
+            if dtype is not None:
+                a_rel = a_rel.astype(dtype)
+                m_rel = m_rel.astype(dtype)
             k = jnp.einsum("nhd,hde->nhe", k_dict[src_t], a_rel)
             v = jnp.einsum("nhd,hde->nhe", v_dict[src_t], m_rel)
             plan = plan_dict.get(et) if plan_dict else None

@@ -28,9 +28,11 @@ class SAGEConv(MessagePassing):
             src_feat = dst_feat = feat
         if num_nodes is None:
             num_nodes = dst_feat.shape[0]
+        from gammagl_tpu.utils.compute_dtype import resolve_dtype
+        dtype = resolve_dtype(self.dtype)
         he = nn.initializers.he_normal()
         fc_neigh = nn.Dense(self.out_channels, use_bias=False,
-                            dtype=self.dtype, kernel_init=he)
+                            dtype=dtype, kernel_init=he)
         if self.aggr == "mean":
             out = self.propagate(fc_neigh(src_feat), edge_index,
                                  num_nodes=num_nodes, aggr="mean",
@@ -47,7 +49,7 @@ class SAGEConv(MessagePassing):
                                  num_nodes=num_nodes, plan=plan)
         elif self.aggr in ("pool", "max"):
             h = nn.relu(nn.Dense(src_feat.shape[-1], use_bias=False,
-                                 dtype=self.dtype,
+                                 dtype=dtype,
                                  kernel_init=he)(src_feat))
             out = self.propagate(h, edge_index, num_nodes=num_nodes,
                                  aggr="max")
@@ -56,7 +58,7 @@ class SAGEConv(MessagePassing):
             raise ValueError(f"unknown aggr {self.aggr!r}")
         if self.aggr != "gcn":
             out = out + nn.Dense(self.out_channels, use_bias=False,
-                                 dtype=self.dtype,
+                                 dtype=dtype,
                                  kernel_init=he)(dst_feat)
         if self.add_bias:
             out = out + self.param("bias", nn.initializers.zeros,

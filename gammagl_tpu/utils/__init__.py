@@ -36,6 +36,9 @@ from gammagl_tpu.utils.compat_utils import (
     node_subgraph, set_device, shortest_path_distance,
     batched_shortest_path_distance)
 
+from gammagl_tpu.utils.compute_dtype import (set_compute_dtype,
+    get_compute_dtype, compute_dtype, resolve_dtype)
+
 __all__ = [
     "chain_time",
     "trace",
@@ -92,4 +95,8 @@ __all__ = [
     "rewind",
     "sparsity",
     "prune_edges_by_weight",
+    "set_compute_dtype",
+    "get_compute_dtype",
+    "compute_dtype",
+    "resolve_dtype",
 ]
