@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import optax
 
 from common import base_parser
-from gammagl_tpu.loader import NeighborSamplerLoader
+from gammagl_tpu.loader import EpochCache, NeighborSamplerLoader
 from gammagl_tpu.models import GraphSAGESampleModel
 from gammagl_tpu.train import TrainState, accuracy
 
@@ -47,6 +47,12 @@ def main(args):
         batch_size=args.batch_size, num_nodes=graph.num_nodes,
         shuffle=True, seed=args.seed,
         presample_chunks=args.presample_chunks)
+    if args.resample_every > 1:
+        # replay cached samples between resampling epochs: on hosts whose
+        # sampler is slower than the TPU step this makes epochs 1..k-1
+        # device-bound (8 ms/batch at the Reddit protocol vs 73 fresh)
+        loader = EpochCache(loader, resample_every=args.resample_every,
+                            seed=args.seed)
 
     model = GraphSAGESampleModel(hidden_dim=args.hidden_dim,
                                  num_class=num_classes, num_layers=2,
@@ -150,4 +156,7 @@ if __name__ == "__main__":
     # (see PERF_NOTES.md end-to-end section); enable on >4-core hosts
     parser.add_argument("--prefetch", type=int, default=0)
     parser.add_argument("--presample_chunks", type=int, default=4)
+    parser.add_argument("--resample_every", type=int, default=1,
+                        help=">1 replays cached samples between "
+                             "resampling epochs (EpochCache)")
     main(parser.parse_args())

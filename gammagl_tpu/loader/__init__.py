@@ -12,6 +12,7 @@ from gammagl_tpu.loader.neighbor_sampler import Adj, NeighborSamplerLoader
 from gammagl_tpu.loader.hetero_sampler import (HeteroNeighborSampler,
                                                HeteroNeighborLoader)
 from gammagl_tpu.loader.prefetch import (PrefetchLoader, prefetch_to_device, pipeline)
+from gammagl_tpu.loader.epoch_cache import EpochCache
 
 from gammagl_tpu.loader.feature_cache import (DeviceFeatureCache, ShardedFeatureStore)
 from gammagl_tpu.loader.rgt_loader import (ExtractNodeLoader, ExtractLinkLoader, build_structure_batch)
@@ -39,6 +40,7 @@ __all__ = [
     "PrefetchLoader",
     "prefetch_to_device",
     "pipeline",
+    "EpochCache",
     "ExtractNodeLoader",
     "ExtractLinkLoader",
     "build_structure_batch",

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--batches", type=int, default=0,
                     help="0 = full epoch (nodes // batch_size)")
     ap.add_argument("--presample_chunks", type=int, default=8)
+    ap.add_argument("--resample_every", type=int, default=5,
+                    help=">1: EpochCache replays sampled batches between "
+                         "resampling epochs; also times a replay epoch")
     args = ap.parse_args()
 
     from gammagl_tpu.loader import DeviceFeatureCache, pipeline
@@ -54,13 +57,16 @@ def main():
     model = GraphSAGESampleModel(hidden_dim=64, num_class=args.classes,
                                  num_layers=2, drop_rate=0.0)
 
-    from gammagl_tpu.loader import NeighborSamplerLoader
+    from gammagl_tpu.loader import EpochCache, NeighborSamplerLoader
     loader = NeighborSamplerLoader(ei, node_idx=seeds,
                                    sample_lists=[25, 10],
                                    batch_size=args.batch_size,
                                    num_nodes=args.nodes, shuffle=False,
                                    seed=0,
                                    presample_chunks=args.presample_chunks)
+    if args.resample_every > 1:
+        loader = EpochCache(loader, resample_every=args.resample_every,
+                            reshuffle=False)
 
     def pad_batch_ids(bs, n_id, adjs):
         n_pad = int(size_bucket(len(n_id)))
@@ -109,7 +115,12 @@ def main():
         state, loss = train_step(state, feats, eis, sizes, y)
     jax.block_until_ready(loss)
 
-    for label, pre in (("serial", False), ("pipelined", True)):
+    cases = [("serial", False, True), ("pipelined", True, True)]
+    if args.resample_every > 1:
+        cases.append(("cached replay", False, False))
+    for label, pre, fresh in cases:
+        if fresh and hasattr(loader, "invalidate"):
+            loader.invalidate()  # time a genuinely fresh sampling epoch
         it = device_batches()
         if pre:
             it = pipeline(it, size=2)
