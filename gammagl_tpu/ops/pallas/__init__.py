@@ -17,7 +17,9 @@ from gammagl_tpu.ops.pallas.block_pair import (  # noqa: F401
 )
 from gammagl_tpu.ops.pallas.flash_attention import (  # noqa: F401
     flash_edge_attention,
+    flash_edge_attention_mh,
     flash_softmax_spmm,
+    flash_softmax_spmm_mh,
     attention_keep_mask,
 )
 from gammagl_tpu.ops.pallas.attention import (  # noqa: F401
@@ -32,5 +34,6 @@ __all__ = ["CSRPlan", "BlockedCSRPlan", "build_csr_plan",
            "pad_edge_weights", "gather_rows", "plan_gather_src",
            "plan_gather_dst", "segment_softmax_padded", "bspmm_csr",
            "flash_edge_attention", "flash_softmax_spmm",
+           "flash_edge_attention_mh", "flash_softmax_spmm_mh",
            "attention_keep_mask", "BlockPairPlan",
            "build_block_pair_plan", "spmm_block_pair"]

@@ -40,7 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gammagl_tpu.ops.pallas.segment_matmul import CSRPlan
 
-__all__ = ["flash_edge_attention", "flash_softmax_spmm",
+__all__ = ["flash_edge_attention", "flash_edge_attention_mh",
+           "flash_softmax_spmm", "flash_softmax_spmm_mh",
            "attention_keep_mask"]
 
 
@@ -88,14 +89,14 @@ def _dot3(a, b, dims, f32):
 
 
 def _flash_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
-                  *rest, R, ET, slope, f32_msg, has_mask):
+                  *rest, R, ET, slope, f32_msg, has_mask, tid=1):
     if has_mask:
         (mask_ref, msg_ref, out_ref, m_out_ref, l_out_ref,
          m_ref, l_ref, acc_ref) = rest
     else:
         (msg_ref, out_ref, m_out_ref, l_out_ref,
          m_ref, l_ref, acc_ref) = rest
-    t = pl.program_id(1)
+    t = pl.program_id(tid)
     sel = (jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0) == lr_ref[0])
 
     @pl.when(tf_ref[t] == 1)
@@ -227,14 +228,14 @@ def _flash_forward(s_src_pad, a_dst, msg, plan, slope, interpret,
 
 
 def _flash_bwd_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
-                      *rest, R, ET, slope, f32_msg, has_mask):
+                      *rest, R, ET, slope, f32_msg, has_mask, tid=0):
     if has_mask:
         (mask_ref, m_ref, l_ref, c_ref, msg_ref, g_ref,
          dss_ref, da_ref, dmsg_ref, da_acc) = rest
     else:
         (m_ref, l_ref, c_ref, msg_ref, g_ref,
          dss_ref, da_ref, dmsg_ref, da_acc) = rest
-    t = pl.program_id(0)
+    t = pl.program_id(tid)
     sel = (jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0) == lr_ref[0])
 
     s_pre = ssrc_ref[0] + adst_ref[0, 0].reshape(R, 1)       # (R, ET)
@@ -468,6 +469,244 @@ def _bwd(plan, slope, interpret, res, g):
 
 
 flash_edge_attention.defvjp(_fwd, _bwd)
+
+
+def _flash_forward_mh(s_src_pad, a_dst, msg, plan, slope, interpret,
+                      keep_pad=None):
+    """Multi-head forward: ONE pallas_call with the head on the grid.
+
+    s_src_pad (E_pad, H) / a_dst (N, H) / msg (E_pad, H, F) /
+    keep_pad (E_pad, H). Returns (out (H, nb*R, F), m (H*nb,1,R),
+    l (H*nb,1,R)). Head h's blocks stack along the leading dim of every
+    operand, so the 3-D layouts (and the single-head kernel body) are
+    reused verbatim — only the index maps gain `h*T + t` / `h*nb + tb[t]`
+    offsets.
+    """
+    interpret = interpret or jax.default_backend() != "tpu"
+    R, ET, T = plan.R, plan.ET, plan.T
+    E_pad, H, F = msg.shape
+    assert E_pad == plan.E_pad
+    nb = plan.nblocks
+    F_pad = _cdiv(F, 128) * 128
+    msg = msg.transpose(1, 0, 2).reshape(H * E_pad, F)
+    if F_pad != F:
+        msg = jnp.pad(msg, ((0, 0), (0, F_pad - F)))
+    FT = min(512, F_pad)
+    while F_pad % FT:
+        FT //= 2
+    nf = F_pad // FT
+
+    local_row = jnp.asarray(plan.local_row.reshape(T, 1, ET))
+    ssrc = s_src_pad.astype(jnp.float32).T.reshape(H * T, 1, ET)
+    a_full = jnp.zeros((H, nb * R), jnp.float32).at[
+        :, :a_dst.shape[0]].set(a_dst.astype(jnp.float32).T
+                                ).reshape(H * nb, 1, R)
+
+    has_mask = keep_pad is not None
+    mask_in, mask_spec = (), ()
+    if has_mask:
+        mask_in = (keep_pad.astype(jnp.float32).T.reshape(H * T, 1, ET),)
+        mask_spec = (pl.BlockSpec(
+            (1, 1, ET), lambda h, f, t, tb, tf, tl: (h * T + t, 0, 0)),)
+
+    kern = functools.partial(
+        _flash_kernel, R=R, ET=ET, slope=slope,
+        f32_msg=msg.dtype == jnp.float32, has_mask=has_mask, tid=2)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(H, nf, T),
+        in_specs=[
+            pl.BlockSpec((1, 1, ET),
+                         lambda h, f, t, tb, tf, tl: (t, 0, 0)),
+            pl.BlockSpec((1, 1, ET),
+                         lambda h, f, t, tb, tf, tl: (h * T + t, 0, 0)),
+            pl.BlockSpec((1, 1, R),
+                         lambda h, f, t, tb, tf, tl: (h * nb + tb[t], 0, 0)),
+            *mask_spec,
+            pl.BlockSpec((ET, FT),
+                         lambda h, f, t, tb, tf, tl: (h * T + t, f)),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, FT),
+                         lambda h, f, t, tb, tf, tl: (h * nb + tb[t], f)),
+            pl.BlockSpec((1, 1, R),
+                         lambda h, f, t, tb, tf, tl: (h * nb + tb[t], 0, 0)),
+            pl.BlockSpec((1, 1, R),
+                         lambda h, f, t, tb, tf, tl: (h * nb + tb[t], 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, 1), jnp.float32),
+            pltpu.VMEM((R, 1), jnp.float32),
+            pltpu.VMEM((R, FT), jnp.float32),
+        ],
+    )
+    out, m, l = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((H * nb * R, F_pad), msg.dtype),
+            jax.ShapeDtypeStruct((H * nb, 1, R), jnp.float32),
+            jax.ShapeDtypeStruct((H * nb, 1, R), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * R * ET * F_pad * T * H,
+            bytes_accessed=H * (E_pad * F_pad + nb * R * F_pad)
+            * msg.dtype.itemsize,
+            transcendentals=H * E_pad * R,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(plan.tile_block), jnp.asarray(plan.tile_first),
+      jnp.asarray(_tile_last(plan)), local_row, ssrc, a_full, *mask_in,
+      msg)
+    return out.reshape(H, nb * R, F_pad)[:, :, :F], m, l
+
+
+def _flash_backward_mh(s_src_pad, a_dst, msg, m, l, c_blocks, g_pad, plan,
+                       slope, interpret, keep_pad=None):
+    """Multi-head fused gradients. msg (H*E_pad, F_pad-able), g_pad
+    (H*nb*R, F). Returns (dss (E_pad, H), da (N-extended (H, nb*R)),
+    dmsg (H, E_pad, F))."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    R, ET, T, nb = plan.R, plan.ET, plan.T, plan.nblocks
+    E_pad = plan.E_pad
+    H = s_src_pad.shape[1]
+    F = msg.shape[1]
+    F_pad = _cdiv(F, 128) * 128
+    if F_pad != F:
+        msg = jnp.pad(msg, ((0, 0), (0, F_pad - F)))
+        g_pad = jnp.pad(g_pad, ((0, 0), (0, F_pad - F)))
+
+    local_row = jnp.asarray(plan.local_row.reshape(T, 1, ET))
+    ssrc = s_src_pad.astype(jnp.float32).T.reshape(H * T, 1, ET)
+    a_full = jnp.zeros((H, nb * R), jnp.float32).at[
+        :, :a_dst.shape[0]].set(a_dst.astype(jnp.float32).T
+                                ).reshape(H * nb, 1, R)
+
+    has_mask = keep_pad is not None
+    mask_in, mask_spec = (), ()
+    if has_mask:
+        mask_in = (keep_pad.astype(jnp.float32).T.reshape(H * T, 1, ET),)
+        mask_spec = (pl.BlockSpec(
+            (1, 1, ET), lambda h, t, tb, tf, tl: (h * T + t, 0, 0)),)
+
+    kern = functools.partial(
+        _flash_bwd_kernel, R=R, ET=ET, slope=slope,
+        f32_msg=msg.dtype == jnp.float32, has_mask=has_mask, tid=1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(H, T),
+        in_specs=[
+            pl.BlockSpec((1, 1, ET), lambda h, t, tb, tf, tl: (t, 0, 0)),
+            pl.BlockSpec((1, 1, ET),
+                         lambda h, t, tb, tf, tl: (h * T + t, 0, 0)),
+            pl.BlockSpec((1, 1, R),
+                         lambda h, t, tb, tf, tl: (h * nb + tb[t], 0, 0)),
+            *mask_spec,
+            pl.BlockSpec((1, 1, R),
+                         lambda h, t, tb, tf, tl: (h * nb + tb[t], 0, 0)),
+            pl.BlockSpec((1, 1, R),
+                         lambda h, t, tb, tf, tl: (h * nb + tb[t], 0, 0)),
+            pl.BlockSpec((1, 1, R),
+                         lambda h, t, tb, tf, tl: (h * nb + tb[t], 0, 0)),
+            pl.BlockSpec((ET, F_pad),
+                         lambda h, t, tb, tf, tl: (h * T + t, 0)),
+            pl.BlockSpec((R, F_pad),
+                         lambda h, t, tb, tf, tl: (h * nb + tb[t], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, ET),
+                         lambda h, t, tb, tf, tl: (h * T + t, 0, 0)),
+            pl.BlockSpec((1, 1, R),
+                         lambda h, t, tb, tf, tl: (h * nb + tb[t], 0, 0)),
+            pl.BlockSpec((ET, F_pad),
+                         lambda h, t, tb, tf, tl: (h * T + t, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, 1, R), jnp.float32)],
+    )
+    dss, da, dmsg = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((H * T, 1, ET), jnp.float32),
+            jax.ShapeDtypeStruct((H * nb, 1, R), jnp.float32),
+            jax.ShapeDtypeStruct((H * E_pad, F_pad), msg.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * R * ET * F_pad * T * H,
+            bytes_accessed=2 * H * (E_pad * F_pad + nb * R * F_pad)
+            * msg.dtype.itemsize,
+            transcendentals=H * E_pad * R,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(plan.tile_block), jnp.asarray(plan.tile_first),
+      jnp.asarray(_tile_last(plan)), local_row, ssrc, a_full, *mask_in,
+      m, l, c_blocks, msg, g_pad)
+    return (dss.reshape(H, E_pad).T,
+            da.reshape(H, nb * R),
+            dmsg.reshape(H, E_pad, F_pad)[:, :, :F].transpose(1, 0, 2))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_edge_attention_mh(s_src_pad, a_dst, msg, plan, slope=0.2,
+                            interpret=False, keep_pad=None):
+    """Multi-head `flash_edge_attention`: ONE pallas_call over an
+    (H, F, T) grid instead of a per-head Python loop (one kernel launch
+    and one XLA graph node for all heads — smaller graphs, faster
+    compiles, identical math).
+
+      s_src_pad (E_pad, H) / a_dst (N, H) / msg (E_pad, H, F) /
+      keep_pad (E_pad, H) -> out (N, H, F).
+
+    Per-head F must pad to <= 512 lanes (the single-tile feature limit);
+    callers fall back to the per-head loop + XLA VJP beyond that.
+    """
+    out, _, _ = _flash_forward_mh(s_src_pad, a_dst, msg, plan, slope,
+                                  interpret, keep_pad)
+    return out[:, :plan.num_nodes].transpose(1, 0, 2)
+
+
+def _fwd_mh(s_src_pad, a_dst, msg, plan, slope, interpret, keep_pad=None):
+    out, m, l = _flash_forward_mh(s_src_pad, a_dst, msg, plan, slope,
+                                  interpret, keep_pad)
+    return (out[:, :plan.num_nodes].transpose(1, 0, 2),
+            (s_src_pad, a_dst, msg, m, l, out, keep_pad))
+
+
+def _bwd_mh(plan, slope, interpret, res, g):
+    s_src_pad, a_dst, msg, m, l, out, keep_pad = res
+    E_pad, H, F = msg.shape
+    nbR = plan.nblocks * plan.R
+    g = g.astype(jnp.float32)  # (N, H, F)
+    g_pad = jnp.zeros((H, nbR, F), jnp.float32).at[
+        :, :g.shape[0]].set(g.transpose(1, 0, 2))
+    # c_row = <out_row, g_row> per head (out is the padded fwd output)
+    c = jnp.sum(out.astype(jnp.float32) * g_pad, axis=2)   # (H, nbR)
+    c_blocks = c.reshape(H * plan.nblocks, 1, plan.R)
+    g_flat = g_pad.reshape(H * nbR, F)
+    if msg.dtype != jnp.float32:
+        g_flat = g_flat.astype(msg.dtype)
+    msg_flat = msg.transpose(1, 0, 2).reshape(H * E_pad, F).astype(
+        msg.dtype)
+    dss, da, dmsg = _flash_backward_mh(
+        s_src_pad, a_dst, msg_flat, m, l, c_blocks, g_flat, plan, slope,
+        interpret, keep_pad)
+    dkeep = None if keep_pad is None else jnp.zeros_like(keep_pad)
+    return (dss.astype(s_src_pad.dtype),
+            da[:, :a_dst.shape[0]].T.astype(a_dst.dtype),
+            dmsg.astype(msg.dtype), dkeep)
+
+
+flash_edge_attention_mh.defvjp(_fwd_mh, _bwd_mh)
+
+
+def flash_softmax_spmm_mh(scores_pad, msg, plan, interpret=False,
+                          keep_pad=None):
+    """Multi-head `flash_softmax_spmm` (arbitrary per-edge scores):
+    scores_pad (E_pad, H), msg (E_pad, H, F) -> (N, H, F), one
+    pallas_call for all heads."""
+    zeros = jnp.zeros((plan.num_nodes, scores_pad.shape[1]), jnp.float32)
+    return flash_edge_attention_mh(scores_pad, zeros, msg, plan, 1.0,
+                                   interpret, keep_pad)
 
 
 def flash_softmax_spmm(scores_pad, msg, plan, interpret=False,
