@@ -46,8 +46,9 @@ def main():
     parser.add_argument("--graphs", nargs="+", default=list(GRAPHS))
     args = parser.parse_args()
 
-    from gammagl_tpu.ops import segment_sum, spmm
-    from gammagl_tpu.ops.pallas import build_csr_plan, spmm_csr
+    from gammagl_tpu.ops import sddmm_dot, segment_sum, spmm
+    from gammagl_tpu.ops.pallas import (build_csr_plan, plan_gather_dst,
+                                        plan_gather_src, spmm_csr)
 
     rng = np.random.default_rng(0)
     print(f"device: {jax.devices()[0]}")
@@ -70,6 +71,34 @@ def main():
                          [(x,) for x in xs], args.iters)
             print(f"{name:>12} {F:>4} {t_x * 1e3:>9.2f}m {t_p * 1e3:>9.2f}m "
                   f"{t_x / t_p:>7.2f}x {E / t_p:>12.3e}")
+
+    # SDDMM (per-edge score dot products, the attention score primitive)
+    print(f"\n{'graph':>12} {'F':>4} {'xla sddmm':>10} {'plan':>10} "
+          f"{'speedup':>8} {'edges/s':>12}")
+    for name in args.graphs:
+        N, E = GRAPHS[name]
+        src = rng.integers(0, N, E)
+        dst = (N * (rng.random(E) ** 1.5)).astype(np.int64)
+        ei = jnp.asarray(np.stack([src, dst]).astype(np.int32))
+        plan = build_csr_plan(src, dst, N)
+
+        def sddmm_plan(a, b):
+            # chained plan-order gathers (data dependence keeps the two
+            # gathers from interleaving working sets, PERF_NOTES.md)
+            ga = plan_gather_src(a, plan)
+            gb = plan_gather_dst(b + 0 * ga[:1, :1], plan)
+            return jnp.sum(ga * gb, axis=-1)
+
+        for F in args.dims:
+            pairs = [(jnp.asarray(rng.normal(size=(N, F)),
+                                  jnp.float32),
+                      jnp.asarray(rng.normal(size=(N, F)), jnp.float32))
+                     for _ in range(3)]
+            t_x = timeit(jax.jit(lambda a, b: sddmm_dot(ei, a, b)),
+                         pairs, args.iters)
+            t_p = timeit(jax.jit(sddmm_plan), pairs, args.iters)
+            print(f"{name:>12} {F:>4} {t_x * 1e3:>9.2f}m {t_p * 1e3:>9.2f}m "
+                  f"{t_x / t_p:>7.2f}x {E / min(t_x, t_p):>12.3e}")
 
 
 if __name__ == "__main__":
