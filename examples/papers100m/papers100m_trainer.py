@@ -70,7 +70,9 @@ def synthetic_papers(scale, seed=0, homophily=0.7):
 def load_real(args):
     x = np.load(args.features, mmap_mode="r")
     ei = np.load(args.edges_file, mmap_mode="r")
-    y = np.load(args.labels, mmap_mode="r").astype(np.int32)
+    # OGB dumps labels as (N, 1) float with NaN on unlabeled rows
+    y = np.asarray(np.load(args.labels, mmap_mode="r")).reshape(-1)
+    y = np.nan_to_num(y, nan=-1.0).astype(np.int32)
     train = np.load(args.train_idx)
     mask = np.zeros(x.shape[0], bool)
     mask[train] = True
@@ -113,7 +115,7 @@ def main():
                                       make_partitioned_gcn_train,
                                       shard_nodes, sign_precompute,
                                       estimate_hbm_gb, reorder_bandwidth)
-    from gammagl_tpu.utils import calc_gcn_norm
+    from gammagl_tpu.utils import calc_gcn_norm_np
 
     if args.features:
         ei, x, y, train, val, c = load_real(args)
@@ -135,7 +137,8 @@ def main():
     t0 = time.perf_counter()
     ei = np.concatenate(  # self-loops (reference gcn_trainer does the same)
         [np.asarray(ei), np.tile(np.arange(n, dtype=np.int64), (2, 1))], 1)
-    w = np.asarray(calc_gcn_norm(jnp.asarray(ei), n))
+    # host-side norm: the full edge list must never land on one device
+    w = calc_gcn_norm_np(ei, n)
     mesh = make_mesh(axis_names=("dp",))
     part = build_halo_partition(np.asarray(ei), n, ndev, w)
     print(f"partition: rows/chip {part.rows_per:,}, halo/peer "

@@ -110,21 +110,38 @@ def ptr2ind_c(ptr):
     return out
 
 
-def _caps(num_seeds, fanouts, n_nodes, n_edges):
+def _caps(seeds, fanouts, colptr, n_edges):
     """Tight hop-sum output bounds. The old bounds (node_cap * max_fanout,
     or the full edge count) over-allocated ~20x at Reddit scale — the
-    allocation + page faulting dominated the sample call itself."""
-    frontier = int(num_seeds)
+    allocation + page faulting dominated the sample call itself.
+
+    Duplicate seeds occupy duplicate node slots AND duplicate hop-0
+    frontier entries (sampler.cpp keeps them), so the full-neighborhood
+    bound for hop 0 is n_edges + dups * max_degree, not n_edges; later
+    hops' frontiers are hash-deduped, where n_edges is exact."""
+    num_seeds = len(seeds)
+    n_nodes = len(colptr) - 1
+    frontier = num_seeds
     ncap = frontier
     ecap = 0
-    for f in fanouts:
+    dup0 = None  # computed lazily: only full-neighborhood hop 0 needs it
+    for h, f in enumerate(fanouts):
         f = int(f)
-        e_h = int(n_edges) if f < 0 else frontier * f
+        if f < 0:
+            e_h = int(n_edges)
+            if h == 0:
+                if dup0 is None:
+                    dup0 = num_seeds - len(np.unique(seeds))
+                if dup0:
+                    max_deg = int(np.max(colptr[1:] - colptr[:-1],
+                                         initial=0))
+                    e_h += dup0 * max_deg
+        else:
+            e_h = frontier * f
         ecap += e_h
-        frontier = min(e_h, int(n_nodes))
+        frontier = min(e_h, n_nodes)
         ncap += frontier
-    return (min(max(ncap, int(num_seeds) + 1),
-                int(n_nodes) + int(num_seeds)),
+    return (min(max(ncap, num_seeds + 1), n_nodes + num_seeds),
             max(ecap, 1))
 
 
@@ -135,8 +152,7 @@ def neighbor_sample_c(colptr, row, edge_perm, seeds, fanouts, replace,
     colptr, row = _as_i64(colptr), _as_i64(row)
     edge_perm = _as_i64(edge_perm)
     seeds, fanouts = _as_i64(seeds), _as_i64(fanouts)
-    ncap_auto, ecap_auto = _caps(len(seeds), fanouts, len(colptr) - 1,
-                                 len(row))
+    ncap_auto, ecap_auto = _caps(seeds, fanouts, colptr, len(row))
     if node_cap is None:
         node_cap = ncap_auto
     if edge_cap is None:
@@ -173,9 +189,10 @@ def neighbor_sample_many_c(colptr, row, edge_perm, seed_batches, fanouts,
     B = len(seed_batches)
     seeds = _as_i64(np.concatenate([np.asarray(b) for b in seed_batches]))
     seeds_ptr = _as_i64(np.cumsum([0] + [len(b) for b in seed_batches]))
-    max_seeds = max(len(b) for b in seed_batches)
-    node_cap, edge_cap = _caps(max_seeds, fanouts, len(colptr) - 1,
-                               len(row))
+    per_batch = [_caps(np.asarray(b), fanouts, colptr, len(row))
+                 for b in seed_batches]
+    node_cap = max(c[0] for c in per_batch)
+    edge_cap = max(c[1] for c in per_batch)
     H = len(fanouts)
     nodes = np.empty(B * node_cap, np.int64)
     rows = np.empty(B * edge_cap, np.int64)

@@ -675,6 +675,18 @@ def _fwd_mh(s_src_pad, a_dst, msg, plan, slope, interpret, keep_pad=None):
 def _bwd_mh(plan, slope, interpret, res, g):
     s_src_pad, a_dst, msg, m, l, out, keep_pad = res
     E_pad, H, F = msg.shape
+    if _cdiv(F, 128) * 128 > 512:
+        # per-head XLA fallback beyond the single-tile feature limit
+        # (same guard as the single-head _bwd at F > 512)
+        parts = [_bwd_xla(plan, slope,
+                          (s_src_pad[:, h], a_dst[:, h], msg[:, h],
+                           None if keep_pad is None else keep_pad[:, h]),
+                          g[:, h]) for h in range(H)]
+        dss = jnp.stack([p[0] for p in parts], axis=1)
+        da = jnp.stack([p[1] for p in parts], axis=1)
+        dmsg = jnp.stack([p[2] for p in parts], axis=1)
+        dkeep = None if keep_pad is None else jnp.zeros_like(keep_pad)
+        return dss, da, dmsg, dkeep
     nbR = plan.nblocks * plan.R
     g = g.astype(jnp.float32)  # (N, H, F)
     g_pad = jnp.zeros((H, nbR, F), jnp.float32).at[

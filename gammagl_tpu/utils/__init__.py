@@ -3,7 +3,7 @@
 from gammagl_tpu.utils.degree import degree
 from gammagl_tpu.utils.loop import (add_self_loops, remove_self_loops,
                                     contains_self_loops)
-from gammagl_tpu.utils.norm import calc_gcn_norm
+from gammagl_tpu.utils.norm import calc_gcn_norm, calc_gcn_norm_np
 from gammagl_tpu.utils.mask import mask_to_index, index_to_mask
 from gammagl_tpu.utils.coalesce import coalesce, sort_edge_index
 from gammagl_tpu.utils.undirected import to_undirected, is_undirected
@@ -55,6 +55,7 @@ __all__ = [
     "remove_self_loops",
     "contains_self_loops",
     "calc_gcn_norm",
+    "calc_gcn_norm_np",
     "mask_to_index",
     "index_to_mask",
     "coalesce",

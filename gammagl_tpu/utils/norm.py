@@ -1,10 +1,11 @@
 """GCN normalization weights (reference: gammagl/utils/norm.py:5)."""
 
+import numpy as np
 import jax.numpy as jnp
 
 from gammagl_tpu.utils.degree import degree
 
-__all__ = ["calc_gcn_norm"]
+__all__ = ["calc_gcn_norm", "calc_gcn_norm_np"]
 
 
 def calc_gcn_norm(edge_index, num_nodes, edge_weight=None):
@@ -23,3 +24,19 @@ def calc_gcn_norm(edge_index, num_nodes, edge_weight=None):
 
 def jax_rsqrt(x):
     return x ** -0.5
+
+
+def calc_gcn_norm_np(edge_index, num_nodes, edge_weight=None):
+    """Host-side (numpy) `calc_gcn_norm` for graphs whose edge list must
+    never touch a device whole — e.g. papers100M's ~1.7B edges (~27 GB
+    int64) before partitioning. Same math, streaming bincount degrees."""
+    src, dst = np.asarray(edge_index[0]), np.asarray(edge_index[1])
+    if edge_weight is None:
+        edge_weight = np.ones(src.shape[0], np.float32)
+    deg = np.bincount(dst, weights=edge_weight,
+                      minlength=num_nodes).astype(np.float32)
+    dis = np.zeros_like(deg)
+    nz = deg > 0
+    dis[nz] = deg[nz] ** -0.5
+    return (dis[src] * np.asarray(edge_weight, np.float32)
+            * dis[dst]).astype(np.float32)

@@ -96,3 +96,24 @@ def test_hetero_neighbor_sample_c_structure():
             for r, c, e in zip(row_d[et], col_d[et], eid_d[et]):
                 assert ei[0, e] == node_d[src_t][r]
                 assert ei[1, e] == node_d[dst_t][c]
+
+
+def test_duplicate_seeds_full_neighborhood_caps():
+    """Duplicate seeds occupy duplicate node slots and hop-0 frontier
+    entries; the auto caps must still hold (code-review regression:
+    the tight hop-sum bounds originally assumed distinct seeds)."""
+    rng = np.random.default_rng(0)
+    n, e = 200, 2000
+    col = rng.integers(0, n, e)
+    row = rng.integers(0, n, e)
+    order = np.argsort(col, kind="stable")
+    colptr = ind2ptr_np(col[order], n)
+    row_s = row[order]
+    perm = order.astype(np.int64)
+    seeds = np.array([3, 3, 3, 7, 7, 11], np.int64)  # heavy duplication
+    for fanouts in ([-1], [-1, -1], [-1, 5], [4, -1]):
+        nodes, rows, cols, edges, hn, he = csrc.neighbor_sample_c(
+            colptr, row_s, perm, seeds,
+            np.asarray(fanouts, np.int64), False, 7)
+        assert (nodes[:len(seeds)] == seeds).all()
+        assert len(rows) == len(cols) == len(edges)

@@ -98,3 +98,18 @@ def test_softmax_spmm_mh_matches_loop():
     got = flash_softmax_spmm_mh(s_src, msg, plan, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_mh_large_f_backward_falls_back_to_xla():
+    """Per-head F > 512 must use the XLA backward (code-review
+    regression: _bwd_mh originally lacked the single-head guard)."""
+    plan, s_src, a_dst, _ = _setup(seed=5, n=16, e=40, h=2, f=4)
+    rng = np.random.default_rng(5)
+    msg = jnp.asarray(rng.normal(size=(plan.E_pad, 2, 640)
+                                 ).astype(np.float32))
+    g_ref = jax.grad(lambda m: (_loop(s_src, a_dst, m, plan, 0.2) ** 2
+                                ).sum())(msg)
+    g_mh = jax.grad(lambda m: (flash_edge_attention_mh(
+        s_src, a_dst, m, plan, 0.2, True) ** 2).sum())(msg)
+    np.testing.assert_allclose(np.asarray(g_mh), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
