@@ -72,6 +72,42 @@ def main():
             print(f"{name:>12} {F:>4} {t_x * 1e3:>9.2f}m {t_p * 1e3:>9.2f}m "
                   f"{t_x / t_p:>7.2f}x {E / t_p:>12.3e}")
 
+    # segment reduces (reference mpops complete_test protocol: the
+    # unsorted_segment_{sum,mean,max} tier, dims {16,64,256}, 10 iters)
+    from gammagl_tpu.ops import (unsorted_segment_max,
+                                 unsorted_segment_mean,
+                                 unsorted_segment_sum)
+    from gammagl_tpu.ops.pallas import segment_sum_csr
+    print(f"\n{'graph':>12} {'F':>4} {'op':>6} {'xla':>10} "
+          f"{'pallas':>10} {'edges/s':>12}")
+    for name in args.graphs:
+        N, E = GRAPHS[name]
+        src = rng.integers(0, N, E)
+        dst = (N * (rng.random(E) ** 1.5)).astype(np.int64)
+        dj = jnp.asarray(dst.astype(np.int32))
+        plan = build_csr_plan(src, dst, N)
+        perm = jnp.asarray(plan.perm)
+        for F in args.dims:
+            msgs = [jnp.asarray(rng.normal(size=(E, F)).astype(np.float32))
+                    for _ in range(3)]
+            for op_name, op in (("sum", unsorted_segment_sum),
+                                ("mean", unsorted_segment_mean),
+                                ("max", unsorted_segment_max)):
+                t_x = timeit(jax.jit(lambda m: op(m, dj, N)),
+                             [(m,) for m in msgs], args.iters)
+                if op_name == "sum":
+                    t_p = timeit(
+                        jax.jit(lambda m: segment_sum_csr(
+                            jnp.take(m, perm, axis=0), plan)),
+                        [(m,) for m in msgs], args.iters)
+                    p_str = f"{t_p * 1e3:>9.2f}m"
+                    best = min(t_x, t_p)
+                else:
+                    p_str = f"{'—':>10}"
+                    best = t_x
+                print(f"{name:>12} {F:>4} {op_name:>6} {t_x * 1e3:>9.2f}m "
+                      f"{p_str} {E / best:>12.3e}")
+
     # SDDMM (per-edge score dot products, the attention score primitive)
     print(f"\n{'graph':>12} {'F':>4} {'xla sddmm':>10} {'plan':>10} "
           f"{'speedup':>8} {'edges/s':>12}")
