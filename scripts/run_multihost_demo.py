@@ -103,7 +103,37 @@ def worker(pid, nproc, port, steps=12):
               f"({done} steps)", flush=True)
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
-    print(f"[rank {pid}] OK", flush=True)
+
+    # halo exchange ACROSS processes: the papers100M-tier all_to_all must
+    # ride the cross-host transport, not just intra-process virtual devs
+    from gammagl_tpu.parallel.halo import (build_halo_partition,
+                                           make_halo_spmm)
+    n = g.num_nodes
+    ei = np.asarray(g.edge_index)
+    wgt = np.abs(rng.normal(size=ei.shape[1])).astype(np.float32)
+    ndev = jax.device_count()
+    part = build_halo_partition(ei, n, ndev, wgt)
+    total = ndev * part.rows_per
+    x_full = rng.normal(size=(total, 8)).astype(np.float32)  # same seed
+    x_full[n:] = 0
+    rows_per_host = total // nproc
+    local = x_full[pid * rows_per_host:(pid + 1) * rows_per_host]
+    xs = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("dp")), local)
+    out = jax.jit(make_halo_spmm(mesh, part))(xs)
+    dense = np.zeros((n, n), np.float32)
+    np.add.at(dense, (ei[1], ei[0]), wgt)
+    want = dense @ x_full[:n]
+    for sh in out.addressable_shards:
+        lo = sh.index[0].start or 0
+        got = np.asarray(sh.data)
+        ref = np.zeros_like(got)
+        valid = max(0, min(n - lo, got.shape[0]))
+        if valid > 0:
+            ref[:valid] = want[lo:lo + valid]
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+    print(f"[rank {pid}] OK (train + cross-process halo exchange)",
+          flush=True)
 
 
 def main():
