@@ -64,16 +64,34 @@ class HeteroNeighborSampler:
             for s in np.asarray(ids):
                 seeds.append(int(s))
                 stypes.append(nt_index[nt])
-        # generous caps: seeds expanded by total fanout per hop
-        cap = len(seeds)
+        # per-type hop-sum caps. The C sampler dedups seeds and keeps
+        # per-type unique frontiers, so per hop an edge type emits at
+        # most min(frontier[dst_type] * fanout, E_type) edges (all of
+        # E_type when fanout < 0 = full neighborhood), and new nodes of
+        # the src type are bounded by that count.
+        n_per_type = np.array([(self.graph[nt].num_nodes or 0)
+                               for nt in self.node_types], np.int64)
+        e_per_type = np.array([len(c[1]) for c in csc], np.int64)
+        frontier = np.bincount(stypes, minlength=len(self.node_types)
+                               ).astype(np.int64)
+        frontier = np.minimum(frontier, n_per_type)
+        ncap_t = frontier.copy()
+        ecap_e = np.zeros(len(self.edge_types), np.int64)
         for h in range(self.num_hops):
-            cap *= 1 + int(np.maximum(fanouts[h], 0).sum())
-        node_cap = min(cap + 1,
-                       sum((self.graph[nt].num_nodes or 0)
-                           for nt in self.node_types) + len(seeds) + 1)
-        edge_cap = max(1, min(
-            cap * max(1, int(fanouts.max())),
-            max(len(c[1]) for c in csc) + 1))
+            new = np.zeros(len(self.node_types), np.int64)
+            for j in range(len(self.edge_types)):
+                f = int(fanouts[h, j])
+                if f == 0:
+                    continue
+                e_h = (int(e_per_type[j]) if f < 0
+                       else int(frontier[et_dst[j]]) * f)
+                e_h = min(e_h, int(e_per_type[j]))
+                ecap_e[j] += e_h
+                new[et_src[j]] += e_h
+            frontier = np.minimum(new, n_per_type)
+            ncap_t += frontier
+        node_cap = int(np.minimum(ncap_t, n_per_type).max()) + 1
+        edge_cap = int(max(1, ecap_e.max()))
         nodes, ncnt, rows, cols, edges, ecnt = \
             self._ext.hetero_neighbor_sample_c(
                 csc, et_src, et_dst, fanouts, seeds, stypes,

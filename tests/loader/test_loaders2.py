@@ -98,3 +98,34 @@ def test_feature_and_graph_store():
     np.testing.assert_array_equal(rowptr, [0, 1, 2, 3])
     coo = gs.get_edge_index("e", layout="coo")
     np.testing.assert_array_equal(coo, ei)
+
+
+def test_hetero_full_neighborhood_sampling():
+    """fanout=-1 (full neighborhood) must not overflow the native caps
+    (regression: the old caps treated negative fanouts as 0), and the
+    native and numpy samplers must agree on per-type node sets."""
+    hg = HeteroGraph()
+    rng = np.random.default_rng(1)
+    hg["paper"].x = rng.normal(size=(40, 4)).astype(np.float32)
+    hg["author"].x = rng.normal(size=(25, 4)).astype(np.float32)
+    hg[("author", "writes", "paper")].edge_index = np.stack(
+        [rng.integers(0, 25, 120), rng.integers(0, 40, 120)])
+    hg[("paper", "cites", "paper")].edge_index = np.stack(
+        [rng.integers(0, 40, 100), rng.integers(0, 40, 100)])
+    from gammagl_tpu.loader.hetero_sampler import HeteroNeighborSampler
+    outs = {}
+    for use_ext in (True, False):
+        s = HeteroNeighborSampler(hg, [-1, -1], seed=0, use_ext=use_ext)
+        node_d, row_d, col_d, eid_d, bs = s.sample_from_nodes(
+            {"paper": np.arange(12)})
+        outs[use_ext] = (node_d, eid_d)
+    if outs[True][0] is not None and outs[False][0] is not None:
+        for nt in ("paper", "author"):
+            # full neighborhood is deterministic: same node SETS
+            np.testing.assert_array_equal(
+                np.sort(np.unique(outs[True][0][nt])),
+                np.sort(np.unique(outs[False][0][nt])))
+        for et in outs[True][1]:
+            np.testing.assert_array_equal(
+                np.sort(np.asarray(outs[True][1][et])),
+                np.sort(np.asarray(outs[False][1][et])))
