@@ -102,6 +102,9 @@ def main():
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--rcm", action="store_true",
                     help="RCM reorder to shrink halos")
+    ap.add_argument("--ckpt", default=None,
+                    help="directory for orbax sharded checkpoints: "
+                         "resume from it if present, save at the end")
     args = ap.parse_args()
 
     import os
@@ -155,7 +158,14 @@ def main():
             mesh, part, f, args.hidden, c, num_layers=args.layers,
             compute_dtype=cdtype, remat=not args.no_remat,
             learning_rate=args.lr)
-        for epoch in range(args.epochs):
+        start_epoch = 0
+        if args.ckpt and osp.exists(args.ckpt):
+            from gammagl_tpu.train import load_checkpoint_sharded
+            restored, start_epoch = load_checkpoint_sharded(
+                args.ckpt, {"params": params, "opt": opt_state})
+            params, opt_state = restored["params"], restored["opt"]
+            print(f"resumed from {args.ckpt} at epoch {start_epoch}")
+        for epoch in range(start_epoch, args.epochs):
             t = time.perf_counter()
             params, opt_state, loss = step(params, opt_state, xs, ys, ms)
             jax.block_until_ready(loss)
@@ -168,6 +178,12 @@ def main():
                 print(f"epoch {epoch:3d}  loss {float(loss):.4f}  "
                       f"val acc {va:.4f}  {dt * 1e3:.1f} ms "
                       f"({ei.shape[1] / dt:.3e} edges/s)")
+        if args.ckpt:
+            from gammagl_tpu.train import save_checkpoint_sharded
+            save_checkpoint_sharded(args.ckpt,
+                                    {"params": params, "opt": opt_state},
+                                    step=args.epochs)
+            print(f"checkpoint saved to {args.ckpt}")
     else:  # SIGN
         t = time.perf_counter()
         ops = sign_precompute(mesh, part, xs, args.hops,

@@ -108,7 +108,10 @@ def make_partitioned_gcn_train(mesh, part: HaloPartition, feat_dim,
         lambda a: jax.device_put(a, NamedSharding(mesh, P())), params)
 
     opt = optax.adamw(learning_rate, weight_decay=weight_decay)
-    opt_state = opt.init(params)
+    # replicate over the mesh (committed): keeps every leaf's placement
+    # explicit so checkpoint restore reproduces it exactly
+    opt_state = jax.device_put(opt.init(params),
+                               NamedSharding(mesh, P()))
 
     def layer(p, i, h):
         # halo traffic rides in compute_dtype; the f32 edge weights make

@@ -13,7 +13,8 @@ import flax.struct
 import jax
 import optax
 
-__all__ = ["TrainState", "save_checkpoint", "load_checkpoint"]
+__all__ = ["TrainState", "save_checkpoint", "load_checkpoint",
+           "save_checkpoint_sharded", "load_checkpoint_sharded"]
 
 
 @flax.struct.dataclass
@@ -56,3 +57,50 @@ def load_checkpoint(path, state: TrainState) -> TrainState:
     return state.replace(step=int(restored["step"]),
                          params=restored["params"],
                          opt_state=restored["opt_state"])
+
+
+def save_checkpoint_sharded(path, tree, step=None):
+    """Orbax checkpoint for MESH-SHARDED pytrees (the papers100M tier:
+    node-sharded features/params/optimizer state that no single host can
+    device_get). Every process calls this with the same global arrays;
+    each host writes only its addressable shards. Preemption-safe resume
+    for multi-chip full-graph training (SURVEY.md §5 — the reference has
+    weight files only)."""
+    import os.path as osp
+    import orbax.checkpoint as ocp
+    path = osp.abspath(str(path))  # orbax requires absolute paths
+    with ocp.PyTreeCheckpointer() as ckptr:
+        payload = dict(tree)
+        if step is not None:
+            payload["_step"] = jax.numpy.asarray(step)
+        ckptr.save(path, payload, force=True)
+
+
+def load_checkpoint_sharded(path, template):
+    """Restore a sharded pytree saved by `save_checkpoint_sharded`.
+    `template` supplies the target shapes/dtypes/SHARDINGS (pass the
+    freshly-initialized global arrays); returns (tree, step)."""
+    import os.path as osp
+    import orbax.checkpoint as ocp
+    path = osp.abspath(str(path))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        tmpl = dict(template)
+        tmpl["_step"] = jax.numpy.asarray(0)
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(
+                x.shape, x.dtype, sharding=getattr(x, "sharding", None)),
+            tmpl)
+        restored = ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(
+                item=abstract,
+                restore_args=ocp.checkpoint_utils.construct_restore_args(
+                    abstract)))
+    step = int(restored.pop("_step"))
+    del tmpl["_step"]
+    # re-place every leaf exactly like the template (scalars otherwise
+    # come back committed to one device and clash with mesh-wide args
+    # inside jit)
+    restored = jax.tree_util.tree_map(
+        lambda r, t: jax.device_put(r, t.sharding)
+        if hasattr(t, "sharding") else r, restored, tmpl)
+    return restored, step
