@@ -34,26 +34,42 @@ def main(args):
                                 seed=args.seed)
     model = GraphSAGEModel(hidden_dim=args.hidden_dim,
                            num_class=num_classes, drop_rate=0.0)
-    params, state, step = None, None, None
+    from gammagl_tpu.data.padding import size_bucket
+
+    def pad_batch(sub):
+        """Bucket-pad so jit compiles once per bucket; padded edges
+        point at the last pad row (no-ops for real rows), padded rows
+        are masked out of the loss."""
+        n, e = sub.num_nodes, sub.edge_index.shape[1]
+        n_pad, e_pad = int(size_bucket(n)), int(size_bucket(e))
+        n_id = np.full(n_pad, np.asarray(sub.n_id)[-1], np.int64)
+        n_id[:n] = np.asarray(sub.n_id)
+        ei = np.full((2, e_pad), n_pad - 1, np.int64)
+        ei[:, :e] = np.asarray(sub.edge_index)
+        y = np.zeros(n_pad, np.int32)
+        y[:n] = np.asarray(sub.y)
+        mask = (np.arange(n_pad) < n).astype(np.float32)
+        return n_id, jnp.asarray(ei), jnp.asarray(y), jnp.asarray(mask)
+
+    @jax.jit
+    def step(state, x, ei, y, mask):
+        def loss_fn(p):
+            logits = model.apply(p, x, ei)
+            ls = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            return (ls * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    state = None
     for epoch in range(args.n_epoch):
         for sub in PrefetchLoader(loader, size=2):
-            x = cache[np.asarray(sub.n_id)]     # HBM-cached gather
-            ei = jnp.asarray(np.asarray(sub.edge_index))
-            y = jnp.asarray(np.asarray(sub.y))
-            if params is None:
+            n_id, ei, y, mask = pad_batch(sub)
+            x = cache[n_id]                     # HBM-cached gather
+            if state is None:
                 params = model.init(jax.random.PRNGKey(args.seed), x, ei)
                 state = TrainState.create(params=params,
                                           tx=optax.adam(args.lr))
-
-                def step(state, x, ei, y):
-                    def loss_fn(p):
-                        logits = model.apply(p, x, ei)
-                        return optax.softmax_cross_entropy_with_integer_labels(
-                            logits, y).mean()
-                    loss, grads = jax.value_and_grad(loss_fn)(state.params)
-                    return state.apply_gradients(grads), loss
-
-            state, loss = step(state, x, ei, y)
+            state, loss = step(state, x, ei, y, mask)
         print(f"epoch {epoch:3d} loss {float(loss):.4f} "
               f"cache hit-rate {cache.hit_rate:.2%}")
     return state
