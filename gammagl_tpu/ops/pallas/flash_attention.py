@@ -153,78 +153,15 @@ def _flash_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
 
 def _flash_forward(s_src_pad, a_dst, msg, plan, slope, interpret,
                    keep_pad=None):
-    """Returns (out (nb*R, F), m (nb,1,R), l (nb,1,R))."""
-    # auto-interpret off-TPU so library callers never thread the flag
-    interpret = interpret or jax.default_backend() != "tpu"
-    R, ET, T = plan.R, plan.ET, plan.T
-    E_pad, F = msg.shape
-    assert E_pad == plan.E_pad
-    nb = plan.nblocks
-    F_pad = _cdiv(F, 128) * 128
-    if F_pad != F:
-        msg = jnp.pad(msg, ((0, 0), (0, F_pad - F)))
-    FT = min(512, F_pad)
-    while F_pad % FT:
-        FT //= 2
-
-    local_row = jnp.asarray(plan.local_row.reshape(T, 1, ET))
-    ssrc = s_src_pad.astype(jnp.float32).reshape(T, 1, ET)
-    # pad a_dst rows to nb*R and lay out (nb, R) so one block row per tile
-    # (nb, 1, R) so the trailing block dims satisfy Mosaic's (8,128)/equal
-    # rule, like local_row's (T, 1, ET) layout
-    a_full = jnp.zeros((nb * R,), jnp.float32).at[:a_dst.shape[0]].set(
-        a_dst.astype(jnp.float32)).reshape(nb, 1, R)
-
-    has_mask = keep_pad is not None
-    mask_in, mask_spec = (), ()
-    if has_mask:
-        mask_in = (keep_pad.astype(jnp.float32).reshape(T, 1, ET),)
-        mask_spec = (pl.BlockSpec((1, 1, ET),
-                                  lambda f, t, tb, tf, tl: (t, 0, 0)),)
-
-    kern = functools.partial(
-        _flash_kernel, R=R, ET=ET, slope=slope,
-        f32_msg=msg.dtype == jnp.float32, has_mask=has_mask)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(F_pad // FT, T),
-        in_specs=[
-            pl.BlockSpec((1, 1, ET), lambda f, t, tb, tf, tl: (t, 0, 0)),
-            pl.BlockSpec((1, 1, ET), lambda f, t, tb, tf, tl: (t, 0, 0)),
-            pl.BlockSpec((1, 1, R), lambda f, t, tb, tf, tl: (tb[t], 0, 0)),
-            *mask_spec,
-            pl.BlockSpec((ET, FT), lambda f, t, tb, tf, tl: (t, f)),
-        ],
-        out_specs=[
-            pl.BlockSpec((R, FT), lambda f, t, tb, tf, tl: (tb[t], f)),
-            pl.BlockSpec((1, 1, R), lambda f, t, tb, tf, tl: (tb[t], 0, 0)),
-            pl.BlockSpec((1, 1, R), lambda f, t, tb, tf, tl: (tb[t], 0, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((R, 1), jnp.float32),
-            pltpu.VMEM((R, 1), jnp.float32),
-            pltpu.VMEM((R, FT), jnp.float32),
-        ],
-    )
-    out, m, l = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nb * R, F_pad), msg.dtype),
-            jax.ShapeDtypeStruct((nb, 1, R), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 1, R), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * R * ET * F_pad * T,
-            bytes_accessed=(E_pad * F_pad + nb * R * F_pad)
-            * msg.dtype.itemsize,
-            transcendentals=E_pad * R,
-        ),
-        interpret=interpret,
-    )(jnp.asarray(plan.tile_block), jnp.asarray(plan.tile_first),
-      jnp.asarray(_tile_last(plan)), local_row, ssrc, a_full, *mask_in,
-      msg)
-    return out[:, :F], m, l
+    """Single-head forward: the H=1 slice of the multi-head launch (all
+    reshapes below are layout no-ops at H=1 — one implementation keeps
+    the BlockSpecs/scratch/cost logic in exactly one place).
+    Returns (out (nb*R, F), m (nb,1,R), l (nb,1,R))."""
+    out, m, l = _flash_forward_mh(
+        s_src_pad.reshape(-1, 1), a_dst.reshape(-1, 1), msg[:, None, :],
+        plan, slope, interpret,
+        None if keep_pad is None else keep_pad.reshape(-1, 1))
+    return out[0], m, l
 
 
 def _flash_bwd_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
@@ -294,71 +231,13 @@ def _flash_bwd_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
 
 def _flash_backward(s_src_pad, a_dst, msg, m, l, c_blocks, g_pad, plan,
                     slope, interpret, keep_pad=None):
-    """Fused gradients. Returns (ds_src (E_pad,), da_full (nb*R,),
-    dmsg (E_pad, F))."""
-    interpret = interpret or jax.default_backend() != "tpu"
-    R, ET, T, nb = plan.R, plan.ET, plan.T, plan.nblocks
-    E_pad, F = msg.shape
-    F_pad = _cdiv(F, 128) * 128
-    if F_pad != F:
-        msg = jnp.pad(msg, ((0, 0), (0, F_pad - F)))
-        g_pad = jnp.pad(g_pad, ((0, 0), (0, F_pad - F)))
-
-    local_row = jnp.asarray(plan.local_row.reshape(T, 1, ET))
-    ssrc = s_src_pad.astype(jnp.float32).reshape(T, 1, ET)
-    a_full = jnp.zeros((nb * R,), jnp.float32).at[:a_dst.shape[0]].set(
-        a_dst.astype(jnp.float32)).reshape(nb, 1, R)
-
-    has_mask = keep_pad is not None
-    mask_in, mask_spec = (), ()
-    if has_mask:
-        mask_in = (keep_pad.astype(jnp.float32).reshape(T, 1, ET),)
-        mask_spec = (pl.BlockSpec((1, 1, ET),
-                                  lambda t, tb, tf, tl: (t, 0, 0)),)
-
-    kern = functools.partial(
-        _flash_bwd_kernel, R=R, ET=ET, slope=slope,
-        f32_msg=msg.dtype == jnp.float32, has_mask=has_mask)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, 1, ET), lambda t, tb, tf, tl: (t, 0, 0)),
-            pl.BlockSpec((1, 1, ET), lambda t, tb, tf, tl: (t, 0, 0)),
-            pl.BlockSpec((1, 1, R), lambda t, tb, tf, tl: (tb[t], 0, 0)),
-            *mask_spec,
-            pl.BlockSpec((1, 1, R), lambda t, tb, tf, tl: (tb[t], 0, 0)),
-            pl.BlockSpec((1, 1, R), lambda t, tb, tf, tl: (tb[t], 0, 0)),
-            pl.BlockSpec((1, 1, R), lambda t, tb, tf, tl: (tb[t], 0, 0)),
-            pl.BlockSpec((ET, F_pad), lambda t, tb, tf, tl: (t, 0)),
-            pl.BlockSpec((R, F_pad), lambda t, tb, tf, tl: (tb[t], 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, ET), lambda t, tb, tf, tl: (t, 0, 0)),
-            pl.BlockSpec((1, 1, R), lambda t, tb, tf, tl: (tb[t], 0, 0)),
-            pl.BlockSpec((ET, F_pad), lambda t, tb, tf, tl: (t, 0)),
-        ],
-        scratch_shapes=[pltpu.VMEM((1, 1, R), jnp.float32)],
-    )
-    dss, da, dmsg = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((T, 1, ET), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 1, R), jnp.float32),
-            jax.ShapeDtypeStruct((E_pad, F_pad), msg.dtype),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * R * ET * F_pad * T,
-            bytes_accessed=2 * (E_pad * F_pad + nb * R * F_pad)
-            * msg.dtype.itemsize,
-            transcendentals=E_pad * R,
-        ),
-        interpret=interpret,
-    )(jnp.asarray(plan.tile_block), jnp.asarray(plan.tile_first),
-      jnp.asarray(_tile_last(plan)), local_row, ssrc, a_full, *mask_in,
-      m, l, c_blocks, msg, g_pad)
-    return dss.reshape(E_pad), da.reshape(nb * R), dmsg[:, :F]
+    """Single-head fused gradients via the H=1 multi-head launch.
+    Returns (ds_src (E_pad,), da_full (nb*R,), dmsg (E_pad, F))."""
+    dss, da, dmsg = _flash_backward_mh(
+        s_src_pad.reshape(-1, 1), a_dst.reshape(-1, 1), msg, m, l,
+        c_blocks, g_pad, plan, slope, interpret,
+        None if keep_pad is None else keep_pad.reshape(-1, 1))
+    return dss.reshape(-1), da.reshape(-1), dmsg[:, 0, :]
 
 
 def _alpha_xla(s_src_pad, a_dst, plan, slope):
