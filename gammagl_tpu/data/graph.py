@@ -190,6 +190,43 @@ class Graph(BaseGraph):
                 num_src_blocks=nb))
         return self._csr_plan
 
+    def reorder_rcm(self):
+        """Bandwidth-reducing (reverse Cuthill-McKee) node relabeling.
+
+        Returns (graph', perm) where graph' has every per-node attribute
+        permuted and edge ids remapped (new_id i holds old node perm[i]).
+        Run this ONCE before `auto_plan()` — a banded adjacency is what
+        makes the gather-free block-pair kernel win (PERF_NOTES.md)."""
+        from gammagl_tpu.parallel.halo import reorder_bandwidth
+        ei = np.asarray(self.edge_index)
+        perm, inv = reorder_bandwidth(ei, self.num_nodes)
+        n = self.num_nodes
+        attrs = {}
+        for k, v in self.items():
+            if k == "edge_index":
+                attrs[k] = inv[ei]
+            elif _is_array(v) and v.ndim >= 1 and v.shape[0] == n:
+                attrs[k] = np.asarray(v)[perm]
+            else:
+                attrs[k] = v
+        return Graph(num_nodes=n, **attrs), perm
+
+    def auto_plan(self, fill_threshold=0.8, R=256, S=256, ET=256):
+        """Pick the best Pallas SpMM layout by the measured crossover
+        rule (PERF_NOTES.md): the gather-free block-pair kernel when the
+        (dst_block, src_block) tiling is dense enough (`fill_ratio` >=
+        0.8, typical after `reorder_rcm()`), the CSR gather plan
+        otherwise. Both are cached; the returned object goes into any
+        conv's `plan=` argument."""
+        if getattr(self, "_bp_plan", None) is None:
+            from gammagl_tpu.ops.pallas import build_block_pair_plan
+            ei = np.asarray(self.edge_index)
+            object.__setattr__(self, "_bp_plan", build_block_pair_plan(
+                ei[0], ei[1], self.num_nodes, R=R, S=S, ET=ET))
+        if self._bp_plan.fill_ratio >= fill_threshold:
+            return self._bp_plan
+        return self.csr_plan()
+
     def csc_plan(self, R=256, ET=None, num_src_blocks=None):
         """Transposed layout (src-major) -- the backward-pass graph."""
         if self._csc_plan is None:

@@ -57,20 +57,25 @@ class MessagePassing(nn.Module):
         and aggr='sum', the Pallas MXU kernel is used -- the analog of the
         reference's `use_ext` fast path.
         """
-        if plan is not None and aggr == "sum":
-            from gammagl_tpu.ops.pallas import spmm_csr
-            return spmm_csr(x, edge_weight, plan)
-        if plan is not None and aggr == "mean":
+        if plan is not None and aggr in ("sum", "mean"):
+            # CSRPlan -> gather + MXU segment matmul; BlockPairPlan
+            # (Graph.auto_plan on banded graphs) -> gather-free one-hot
+            # matmuls against VMEM-resident source blocks
+            from gammagl_tpu.ops.pallas import (BlockPairPlan,
+                                                spmm_block_pair, spmm_csr)
+            kernel = (spmm_block_pair if isinstance(plan, BlockPairPlan)
+                      else spmm_csr)
+            if aggr == "sum":
+                return kernel(x, edge_weight, plan)
             # mean = sum with 1/deg(dst) edge weights -- keeps the MXU
             # kernel path (deg is one O(E) count, amortized by jit CSE)
-            from gammagl_tpu.ops.pallas import spmm_csr
             from gammagl_tpu.ops.segment import segment_count
             deg = segment_count(edge_index[1], num_nodes, jnp.float32)
             inv = jnp.where(deg > 0, 1.0 / deg, 0.0).astype(x.dtype)
             w = inv[edge_index[1]]
             if edge_weight is not None:
                 w = w * edge_weight
-            return spmm_csr(x, w, plan)
+            return kernel(x, w, plan)
         return spmm(edge_index, edge_weight, x, num_nodes=num_nodes,
                     reduce=aggr)
 
