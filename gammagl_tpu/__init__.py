@@ -23,3 +23,4 @@ __version__ = "0.1.0"
 from gammagl_tpu import ops  # noqa: F401
 from gammagl_tpu import utils  # noqa: F401
 from gammagl_tpu import data  # noqa: F401
+from gammagl_tpu import serve  # noqa: F401
