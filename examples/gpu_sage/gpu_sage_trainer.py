@@ -41,7 +41,9 @@ def main(args):
         point at the last pad row (no-ops for real rows), padded rows
         are masked out of the loss."""
         n, e = sub.num_nodes, sub.edge_index.shape[1]
-        n_pad, e_pad = int(size_bucket(n)), int(size_bucket(e))
+        # n+1: the pad row receiving phantom edges must never be a
+        # real node (size_bucket(n) == n would alias the last real row)
+        n_pad, e_pad = int(size_bucket(n + 1)), int(size_bucket(e))
         n_id = np.full(n_pad, np.asarray(sub.n_id)[-1], np.int64)
         n_id[:n] = np.asarray(sub.n_id)
         ei = np.full((2, e_pad), n_pad - 1, np.int64)

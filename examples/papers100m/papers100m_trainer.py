@@ -104,7 +104,8 @@ def main():
                     help="RCM reorder to shrink halos")
     ap.add_argument("--ckpt", default=None,
                     help="directory for orbax sharded checkpoints: "
-                         "resume from it if present, save at the end")
+                         "resume from it if present, save periodically")
+    ap.add_argument("--ckpt-every", type=int, default=5)
     args = ap.parse_args()
 
     import os
@@ -170,6 +171,11 @@ def main():
             params, opt_state, loss = step(params, opt_state, xs, ys, ms)
             jax.block_until_ready(loss)
             dt = time.perf_counter() - t
+            if args.ckpt and (epoch + 1) % args.ckpt_every == 0:
+                from gammagl_tpu.train import save_checkpoint_sharded
+                save_checkpoint_sharded(
+                    args.ckpt, {"params": params, "opt": opt_state},
+                    step=epoch + 1)
             if epoch % 5 == 0 or epoch == args.epochs - 1:
                 logits = eval_logits(params, xs)
                 pred = jnp.argmax(logits, 1)

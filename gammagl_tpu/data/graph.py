@@ -211,21 +211,45 @@ class Graph(BaseGraph):
                 attrs[k] = v
         return Graph(num_nodes=n, **attrs), perm
 
+    def block_pair_fill(self, R=256, S=256, ET=256):
+        """O(E) estimate of the block-pair plan's fill_ratio — unique
+        (dst_block, src_block) pair counts, each padded to a multiple of
+        ET — WITHOUT materializing the padded plan arrays (which would
+        be O(pairs*ET) memory: ruinous on exactly the scattered graphs
+        the estimate is meant to reject)."""
+        ei = np.asarray(self.edge_index)
+        pair = ((ei[1] // R).astype(np.int64)
+                * (1 + self.num_nodes // S) + ei[0] // S)
+        _, counts = np.unique(pair, return_counts=True)
+        e_pad = int((-(-counts // ET) * ET).sum())
+        return ei.shape[1] / max(e_pad, 1)
+
     def auto_plan(self, fill_threshold=0.8, R=256, S=256, ET=256):
         """Pick the best Pallas SpMM layout by the measured crossover
         rule (PERF_NOTES.md): the gather-free block-pair kernel when the
-        (dst_block, src_block) tiling is dense enough (`fill_ratio` >=
-        0.8, typical after `reorder_rcm()`), the CSR gather plan
-        otherwise. Both are cached; the returned object goes into any
-        conv's `plan=` argument."""
-        if getattr(self, "_bp_plan", None) is None:
+        (dst_block, src_block) tiling is dense enough (fill >= 0.8,
+        typical after `reorder_rcm()`), the CSR gather plan otherwise.
+        The fill test is O(E); the block-pair plan is only built (and
+        cached per (R, S, ET)) when it passes. The returned object goes
+        into any conv's `plan=` argument."""
+        key = (R, S, ET)
+        cache = getattr(self, "_bp_plans", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_bp_plans", cache)
+        fill, plan = cache.get(key, (None, None))
+        if fill is None:
+            fill = self.block_pair_fill(R, S, ET)
+            cache[key] = (fill, None)
+        if fill < fill_threshold:
+            return self.csr_plan()
+        if plan is None:
             from gammagl_tpu.ops.pallas import build_block_pair_plan
             ei = np.asarray(self.edge_index)
-            object.__setattr__(self, "_bp_plan", build_block_pair_plan(
-                ei[0], ei[1], self.num_nodes, R=R, S=S, ET=ET))
-        if self._bp_plan.fill_ratio >= fill_threshold:
-            return self._bp_plan
-        return self.csr_plan()
+            plan = build_block_pair_plan(ei[0], ei[1], self.num_nodes,
+                                         R=R, S=S, ET=ET)
+            cache[key] = (fill, plan)
+        return plan
 
     def csc_plan(self, R=256, ET=None, num_src_blocks=None):
         """Transposed layout (src-major) -- the backward-pass graph."""

@@ -23,17 +23,31 @@ class HeteroNeighborSampler:
         self.graph = hetero_graph
         self.edge_types = hetero_graph.edge_types
         self.node_types = hetero_graph.node_types
+        # node types that only appear as edge endpoints (featureless,
+        # no store) still need slots in the per-type outputs
+        for et in self.edge_types:
+            for nt in (et[0], et[2]):
+                if nt not in self.node_types:
+                    self.node_types.append(nt)
         if not isinstance(num_neighbors, dict):
             num_neighbors = {et: list(num_neighbors)
                              for et in self.edge_types}
         self.num_neighbors = num_neighbors
         self.num_hops = max(len(v) for v in num_neighbors.values())
         self.rng = np.random.default_rng(seed)
-        # per-edge-type CSC
+        # per-edge-type CSC; per-type node counts inferred from edges
+        # when the store has none (featureless node types are common)
         self._csc = {}
+        self._n_per_type = {nt: (hetero_graph[nt].num_nodes or 0)
+                            for nt in self.node_types}
         for et in self.edge_types:
             ei = np.asarray(hetero_graph[et].edge_index)
-            n_dst = hetero_graph[et[2]].num_nodes or int(ei[1].max()) + 1
+            n_dst = max(self._n_per_type[et[2]],
+                        (int(ei[1].max()) + 1) if ei.shape[1] else 0)
+            self._n_per_type[et[2]] = n_dst
+            self._n_per_type[et[0]] = max(
+                self._n_per_type[et[0]],
+                (int(ei[0].max()) + 1) if ei.shape[1] else 0)
             order = np.argsort(ei[1], kind="stable")
             self._csc[et] = (ind2ptr_np(ei[1][order], n_dst),
                              ei[0][order], order)
@@ -69,7 +83,7 @@ class HeteroNeighborSampler:
         # most min(frontier[dst_type] * fanout, E_type) edges (all of
         # E_type when fanout < 0 = full neighborhood), and new nodes of
         # the src type are bounded by that count.
-        n_per_type = np.array([(self.graph[nt].num_nodes or 0)
+        n_per_type = np.array([self._n_per_type[nt]
                                for nt in self.node_types], np.int64)
         e_per_type = np.array([len(c[1]) for c in csc], np.int64)
         frontier = np.bincount(stypes, minlength=len(self.node_types)

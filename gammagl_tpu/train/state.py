@@ -8,6 +8,7 @@ serialized together, so training resumes exactly.
 
 from typing import Any
 
+import numpy as np
 import flax
 import flax.struct
 import jax
@@ -71,8 +72,13 @@ def save_checkpoint_sharded(path, tree, step=None):
     path = osp.abspath(str(path))  # orbax requires absolute paths
     with ocp.PyTreeCheckpointer() as ckptr:
         payload = dict(tree)
-        if step is not None:
-            payload["_step"] = jax.numpy.asarray(step)
+        # numpy scalar: identical on every host (orbax treats host-local
+        # numpy as replicated and lets the primary write it) -- a
+        # jax.Array here would be committed to one local device per
+        # process and collide across hosts. Always written so restore
+        # can always request it.
+        payload["_step"] = np.asarray(0 if step is None else step,
+                                      np.int64)
         ckptr.save(path, payload, force=True)
 
 
@@ -85,7 +91,7 @@ def load_checkpoint_sharded(path, template):
     path = osp.abspath(str(path))
     with ocp.PyTreeCheckpointer() as ckptr:
         tmpl = dict(template)
-        tmpl["_step"] = jax.numpy.asarray(0)
+        tmpl["_step"] = np.asarray(0, np.int64)  # matches the saved leaf
         abstract = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(
                 x.shape, x.dtype, sharding=getattr(x, "sharding", None)),

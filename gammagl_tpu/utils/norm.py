@@ -29,12 +29,12 @@ def jax_rsqrt(x):
 def calc_gcn_norm_np(edge_index, num_nodes, edge_weight=None):
     """Host-side (numpy) `calc_gcn_norm` for graphs whose edge list must
     never touch a device whole — e.g. papers100M's ~1.7B edges (~27 GB
-    int64) before partitioning. Same math, streaming bincount degrees."""
+    int64) before partitioning. Same math (UNWEIGHTED in-degree, like
+    the jnp version), streaming bincount."""
     src, dst = np.asarray(edge_index[0]), np.asarray(edge_index[1])
     if edge_weight is None:
         edge_weight = np.ones(src.shape[0], np.float32)
-    deg = np.bincount(dst, weights=edge_weight,
-                      minlength=num_nodes).astype(np.float32)
+    deg = np.bincount(dst, minlength=num_nodes).astype(np.float32)
     dis = np.zeros_like(deg)
     nz = deg > 0
     dis[nz] = deg[nz] ** -0.5

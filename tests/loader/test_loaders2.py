@@ -129,3 +129,20 @@ def test_hetero_full_neighborhood_sampling():
             np.testing.assert_array_equal(
                 np.sort(np.asarray(outs[True][1][et])),
                 np.sort(np.asarray(outs[False][1][et])))
+
+
+def test_hetero_sampling_featureless_node_type():
+    """Node types without x/num_nodes must get their size inferred from
+    edges (code-review regression: caps treated them as empty -> native
+    path raised 'capacity exceeded')."""
+    hg = HeteroGraph()
+    rng = np.random.default_rng(2)
+    hg["paper"].x = rng.normal(size=(30, 4)).astype(np.float32)
+    # 'author' has NO features and NO num_nodes — only edges
+    hg[("author", "writes", "paper")].edge_index = np.stack(
+        [rng.integers(0, 22, 80), rng.integers(0, 30, 80)])
+    from gammagl_tpu.loader.hetero_sampler import HeteroNeighborSampler
+    s = HeteroNeighborSampler(hg, [-1], seed=0, use_ext=True)
+    node_d, row_d, col_d, eid_d, bs = s.sample_from_nodes(
+        {"paper": np.arange(10)})
+    assert len(node_d["author"]) > 0
