@@ -17,8 +17,93 @@
 #endif
 #include <cstring>
 #include <random>
-#include <unordered_map>
 #include <vector>
+
+namespace {
+
+// Open-addressing node->local-id map (linear probing, power-of-two
+// capacity). The relabel lookup runs once per sampled edge and is the
+// sampler's hottest path; std::unordered_map's chained buckets cost a
+// heap allocation per node and a pointer chase per probe (the reference
+// uses phmap::flat_hash_map for the same reason — this is the
+// dependency-free equivalent).
+struct FlatMap {
+  std::vector<int64_t> keys;
+  std::vector<int64_t> vals;
+  size_t mask;
+
+  explicit FlatMap(int64_t expected) {
+    size_t cap = 16;
+    while (cap < static_cast<size_t>(expected) * 2) cap <<= 1;
+    keys.assign(cap, -1);
+    vals.resize(cap);
+    mask = cap - 1;
+  }
+
+  static size_t mix(int64_t k) {
+    uint64_t x = static_cast<uint64_t>(k);
+    x ^= x >> 33;
+    x *= 0xff51afd7ed558ccdULL;
+    x ^= x >> 33;
+    return static_cast<size_t>(x);
+  }
+
+  // Returns the local id of `k`, inserting `fresh` if absent;
+  // sets `inserted`.
+  int64_t get_or_insert(int64_t k, int64_t fresh, bool* inserted) {
+    size_t i = mix(k) & mask;
+    while (true) {
+      if (keys[i] == k) {
+        *inserted = false;
+        return vals[i];
+      }
+      if (keys[i] < 0) {
+        keys[i] = k;
+        vals[i] = fresh;
+        *inserted = true;
+        return fresh;
+      }
+      i = (i + 1) & mask;
+    }
+  }
+
+  int64_t find(int64_t k) const {  // k must be present
+    size_t i = mix(k) & mask;
+    while (keys[i] != k) i = (i + 1) & mask;
+    return vals[i];
+  }
+
+  int64_t find_or(int64_t k, int64_t dflt) const {
+    size_t i = mix(k) & mask;
+    while (keys[i] != k) {
+      if (keys[i] < 0) return dflt;
+      i = (i + 1) & mask;
+    }
+    return vals[i];
+  }
+};
+
+// Floyd's algorithm: `fanout` distinct CSC positions from [lo, hi)
+// WITHOUT the O(deg) index-array init of partial Fisher-Yates (Reddit
+// fanout-25 sampling visits many deg-500 nodes; FY's per-node init
+// dominated). Membership is a linear scan of the current draws --
+// O(fanout^2) worst case, cheap for the small fanouts samplers use.
+inline void floyd_sample(std::mt19937_64& rng, int64_t lo, int64_t deg,
+                         int64_t fanout, std::vector<int64_t>& take) {
+  for (int64_t j = deg - fanout; j < deg; ++j) {
+    std::uniform_int_distribution<int64_t> dist(0, j);
+    int64_t t = lo + dist(rng);
+    bool seen = false;
+    for (int64_t v : take)
+      if (v == t) {
+        seen = true;
+        break;
+      }
+    take.push_back(seen ? lo + j : t);
+  }
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -54,12 +139,12 @@ int neighbor_sample(const int64_t* colptr, const int64_t* row,
                     int64_t* out_num_nodes, int64_t* out_num_edges,
                     int64_t* hop_nodes, int64_t* hop_edges) {
   std::mt19937_64 rng(rng_seed);
-  std::unordered_map<int64_t, int64_t> local;
-  local.reserve(static_cast<size_t>(node_cap) * 2);
+  FlatMap local(node_cap);
   int64_t n_nodes = 0, n_edges = 0;
   for (int64_t i = 0; i < num_seeds; ++i) {
     if (n_nodes >= node_cap) return -1;
-    local.emplace(seeds[i], n_nodes);
+    bool ins;
+    local.get_or_insert(seeds[i], n_nodes, &ins);
     out_nodes[n_nodes++] = seeds[i];
   }
   hop_nodes[0] = num_seeds;
@@ -81,28 +166,18 @@ int neighbor_sample(const int64_t* colptr, const int64_t* row,
         std::uniform_int_distribution<int64_t> dist(0, deg - 1);
         for (int64_t k = 0; k < fanout; ++k) take.push_back(lo + dist(rng));
       } else {
-        // partial Fisher-Yates over [0, deg) for fanout draws
-        std::vector<int64_t> idx(deg);
-        for (int64_t k = 0; k < deg; ++k) idx[k] = k;
-        for (int64_t k = 0; k < fanout; ++k) {
-          std::uniform_int_distribution<int64_t> dist(k, deg - 1);
-          std::swap(idx[k], idx[dist(rng)]);
-          take.push_back(lo + idx[k]);
-        }
+        floyd_sample(rng, lo, deg, fanout, take);
       }
-      const int64_t dst_local = local.find(dst)->second;
+      const int64_t dst_local = local.find(dst);
       for (int64_t e : take) {
         const int64_t src = row[e];
-        auto it = local.find(src);
-        int64_t src_local;
-        if (it == local.end()) {
+        bool inserted;
+        const int64_t src_local =
+            local.get_or_insert(src, n_nodes, &inserted);
+        if (inserted) {
           if (n_nodes >= node_cap) return -1;
-          src_local = n_nodes;
-          local.emplace(src, n_nodes);
           out_nodes[n_nodes++] = src;
           next.push_back(src);
-        } else {
-          src_local = it->second;
         }
         if (n_edges >= edge_cap) return -1;
         out_rows[n_edges] = src_local;
@@ -147,18 +222,20 @@ int64_t saint_subgraph(const int64_t* rowptr, const int64_t* col,
                        const int64_t* nodes, int64_t num_nodes_sub,
                        int64_t* out_rows, int64_t* out_cols,
                        int64_t* out_edges, int64_t edge_cap) {
-  std::unordered_map<int64_t, int64_t> local;
-  local.reserve(static_cast<size_t>(num_nodes_sub) * 2);
-  for (int64_t i = 0; i < num_nodes_sub; ++i) local.emplace(nodes[i], i);
+  FlatMap local(num_nodes_sub);
+  for (int64_t i = 0; i < num_nodes_sub; ++i) {
+    bool ins;
+    local.get_or_insert(nodes[i], i, &ins);
+  }
   int64_t n_edges = 0;
   for (int64_t i = 0; i < num_nodes_sub; ++i) {
     const int64_t u = nodes[i];
     for (int64_t e = rowptr[u]; e < rowptr[u + 1]; ++e) {
-      auto it = local.find(col[e]);
-      if (it == local.end()) continue;
+      const int64_t v = local.find_or(col[e], -1);
+      if (v < 0) continue;
       if (n_edges >= edge_cap) return -1;
       out_rows[n_edges] = i;
-      out_cols[n_edges] = it->second;
+      out_cols[n_edges] = v;
       out_edges[n_edges] = edge_perm ? edge_perm[e] : e;
       ++n_edges;
     }
@@ -232,15 +309,18 @@ int hetero_neighbor_sample(
     int64_t* out_edge_counts)  // (num_etypes)
 {
   std::mt19937_64 rng(rng_seed);
-  std::vector<std::unordered_map<int64_t, int64_t>> local(num_ntypes);
+  std::vector<FlatMap> local;
+  local.reserve(num_ntypes);
+  for (int64_t t = 0; t < num_ntypes; ++t) local.emplace_back(node_cap);
   std::vector<std::vector<int64_t>> frontier(num_ntypes), next(num_ntypes);
   for (int64_t t = 0; t < num_ntypes; ++t) out_node_counts[t] = 0;
   for (int64_t e = 0; e < num_etypes; ++e) out_edge_counts[e] = 0;
   for (int64_t i = 0; i < num_seeds; ++i) {
     const int64_t t = seed_types[i];
-    if (local[t].count(seed_nodes[i])) continue;
+    bool inserted;
+    local[t].get_or_insert(seed_nodes[i], out_node_counts[t], &inserted);
+    if (!inserted) continue;
     if (out_node_counts[t] >= node_cap) return -1;
-    local[t].emplace(seed_nodes[i], out_node_counts[t]);
     out_nodes[t * node_cap + out_node_counts[t]++] = seed_nodes[i];
     frontier[t].push_back(seed_nodes[i]);
   }
@@ -265,27 +345,18 @@ int hetero_neighbor_sample(
         if (fanout < 0 || deg <= fanout) {
           for (int64_t k = lo; k < hi; ++k) take.push_back(k);
         } else {
-          std::vector<int64_t> idx(deg);
-          for (int64_t k = 0; k < deg; ++k) idx[k] = k;
-          for (int64_t k = 0; k < fanout; ++k) {
-            std::uniform_int_distribution<int64_t> dist(k, deg - 1);
-            std::swap(idx[k], idx[dist(rng)]);
-            take.push_back(lo + idx[k]);
-          }
+          floyd_sample(rng, lo, deg, fanout, take);
         }
-        const int64_t dst_local = local[dt].find(dst)->second;
+        const int64_t dst_local = local[dt].find(dst);
         for (int64_t k : take) {
           const int64_t src = row[k];
-          auto it = local[st].find(src);
-          int64_t src_local;
-          if (it == local[st].end()) {
+          bool inserted;
+          const int64_t src_local = local[st].get_or_insert(
+              src, out_node_counts[st], &inserted);
+          if (inserted) {
             if (out_node_counts[st] >= node_cap) return -1;
-            src_local = out_node_counts[st];
-            local[st].emplace(src, src_local);
             out_nodes[st * node_cap + out_node_counts[st]++] = src;
             next[st].push_back(src);
-          } else {
-            src_local = it->second;
           }
           int64_t& ec = out_edge_counts[e];
           if (ec >= edge_cap) return -1;
