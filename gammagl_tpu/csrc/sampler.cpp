@@ -83,16 +83,46 @@ struct FlatMap {
   }
 };
 
+// splitmix64 + Lemire bounded draw: one multiply per uniform int vs
+// libstdc++'s uniform_int_distribution (divide + rejection loop) on
+// mt19937_64. The sampler burns one draw per sampled edge (~250k/batch
+// at the Reddit protocol) — this is several ms/batch.
+struct Rng {
+  uint64_t s;
+  explicit Rng(uint64_t seed) : s(seed) {}
+  uint64_t next() {
+    uint64_t z = (s += 0x9E3779B97F4A7C15ULL);
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+    return z ^ (z >> 31);
+  }
+  // unbiased integer in [0, n) (Lemire's multiply-shift with rejection)
+  int64_t below(int64_t n) {
+    uint64_t range = static_cast<uint64_t>(n);
+    uint64_t x = next();
+    __uint128_t m = static_cast<__uint128_t>(x) * range;
+    uint64_t l = static_cast<uint64_t>(m);
+    if (l < range) {
+      uint64_t t = (-range) % range;
+      while (l < t) {
+        x = next();
+        m = static_cast<__uint128_t>(x) * range;
+        l = static_cast<uint64_t>(m);
+      }
+    }
+    return static_cast<int64_t>(m >> 64);
+  }
+};
+
 // Floyd's algorithm: `fanout` distinct CSC positions from [lo, hi)
 // WITHOUT the O(deg) index-array init of partial Fisher-Yates (Reddit
 // fanout-25 sampling visits many deg-500 nodes; FY's per-node init
 // dominated). Membership is a linear scan of the current draws --
 // O(fanout^2) worst case, cheap for the small fanouts samplers use.
-inline void floyd_sample(std::mt19937_64& rng, int64_t lo, int64_t deg,
+inline void floyd_sample(Rng& rng, int64_t lo, int64_t deg,
                          int64_t fanout, std::vector<int64_t>& take) {
   for (int64_t j = deg - fanout; j < deg; ++j) {
-    std::uniform_int_distribution<int64_t> dist(0, j);
-    int64_t t = lo + dist(rng);
+    int64_t t = lo + rng.below(j + 1);
     bool seen = false;
     for (int64_t v : take)
       if (v == t) {
@@ -138,7 +168,7 @@ int neighbor_sample(const int64_t* colptr, const int64_t* row,
                     int64_t* out_cols, int64_t* out_edges,
                     int64_t* out_num_nodes, int64_t* out_num_edges,
                     int64_t* hop_nodes, int64_t* hop_edges) {
-  std::mt19937_64 rng(rng_seed);
+  Rng rng(rng_seed);
   FlatMap local(node_cap);
   int64_t n_nodes = 0, n_edges = 0;
   for (int64_t i = 0; i < num_seeds; ++i) {
@@ -163,8 +193,8 @@ int neighbor_sample(const int64_t* colptr, const int64_t* row,
       if (fanout < 0 || (deg <= fanout && !replace)) {
         for (int64_t e = lo; e < hi; ++e) take.push_back(e);
       } else if (replace) {
-        std::uniform_int_distribution<int64_t> dist(0, deg - 1);
-        for (int64_t k = 0; k < fanout; ++k) take.push_back(lo + dist(rng));
+        for (int64_t k = 0; k < fanout; ++k)
+          take.push_back(lo + rng.below(deg));
       } else {
         floyd_sample(rng, lo, deg, fanout, take);
       }
@@ -200,15 +230,14 @@ int neighbor_sample(const int64_t* colptr, const int64_t* row,
 void random_walk(const int64_t* rowptr, const int64_t* col,
                  const int64_t* starts, int64_t num_starts,
                  int64_t walk_length, uint64_t rng_seed, int64_t* out) {
-  std::mt19937_64 rng(rng_seed);
+  Rng rng(rng_seed);
   for (int64_t i = 0; i < num_starts; ++i) {
     int64_t cur = starts[i];
     out[i * (walk_length + 1)] = cur;
     for (int64_t t = 1; t <= walk_length; ++t) {
       const int64_t lo = rowptr[cur], hi = rowptr[cur + 1];
       if (hi > lo) {
-        std::uniform_int_distribution<int64_t> dist(lo, hi - 1);
-        cur = col[dist(rng)];
+        cur = col[lo + rng.below(hi - lo)];
       }
       out[i * (walk_length + 1) + t] = cur;
     }
@@ -308,7 +337,7 @@ int hetero_neighbor_sample(
     int64_t* out_cols, int64_t* out_edges,
     int64_t* out_edge_counts)  // (num_etypes)
 {
-  std::mt19937_64 rng(rng_seed);
+  Rng rng(rng_seed);
   std::vector<FlatMap> local;
   local.reserve(num_ntypes);
   for (int64_t t = 0; t < num_ntypes; ++t) local.emplace_back(node_cap);
