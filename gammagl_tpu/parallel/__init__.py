@@ -13,6 +13,10 @@ from gammagl_tpu.parallel.partition import (EdgePartition,
 from gammagl_tpu.parallel.spmm import sharded_spmm, make_sharded_spmm
 from gammagl_tpu.parallel.halo import (HaloPartition, build_halo_partition,
                                        make_halo_spmm, reorder_bandwidth)
+from gammagl_tpu.parallel.hier_halo import (HierHaloPartition,
+                                            build_hier_halo_partition,
+                                            make_hier_halo_spmm,
+                                            traffic_report)
 
 from gammagl_tpu.parallel.strategies import (pipeline_apply, make_feature_sharded_spmm, relation_expert_spmm)
 from gammagl_tpu.parallel.full_graph import (pad_nodes, shard_nodes,
@@ -35,6 +39,10 @@ __all__ = [
     "build_halo_partition",
     "make_halo_spmm",
     "reorder_bandwidth",
+    "HierHaloPartition",
+    "build_hier_halo_partition",
+    "make_hier_halo_spmm",
+    "traffic_report",
     "pipeline_apply",
     "make_feature_sharded_spmm",
     "relation_expert_spmm",

@@ -40,12 +40,24 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from gammagl_tpu.parallel.halo import (HaloPartition, build_halo_partition,
                                        make_halo_spmm)
+from gammagl_tpu.parallel.hier_halo import (HierHaloPartition,
+                                            make_hier_halo_spmm)
 
 __all__ = ["pad_nodes", "shard_nodes", "sign_precompute",
            "make_partitioned_gcn_train", "estimate_hbm_gb"]
 
 
-def pad_nodes(arr, part: HaloPartition, fill=0):
+def _make_spmm(mesh, part, axis):
+    """Single-level (ICI) or two-level (ICI+DCN) halo SpMM by partition
+    type; both recipes below work unchanged on either tier."""
+    if isinstance(part, HierHaloPartition):
+        axes = tuple(axis) if isinstance(axis, (tuple, list)) \
+            else ("slice", "dp")
+        return make_hier_halo_spmm(mesh, part, axes)
+    return make_halo_spmm(mesh, part, axis)
+
+
+def pad_nodes(arr, part, fill=0):
     """Pad a per-node array (N, ...) to the partition's (P*rows_per, ...)."""
     arr = np.asarray(arr)
     total = part.num_parts * part.rows_per
@@ -53,23 +65,27 @@ def pad_nodes(arr, part: HaloPartition, fill=0):
     return np.pad(arr, pad, constant_values=fill)
 
 
-def shard_nodes(arr, mesh, part: HaloPartition, axis="dp", fill=0,
-                dtype=None):
-    """Pad + device_put a per-node array sharded along the node dim."""
+def shard_nodes(arr, mesh, part, axis="dp", fill=0, dtype=None):
+    """Pad + device_put a per-node array sharded along the node dim.
+
+    For a `HierHaloPartition` pass ``axis=("slice", "dp")``."""
     out = pad_nodes(arr, part, fill)
     if dtype is not None:
         out = out.astype(dtype)
+    if isinstance(part, HierHaloPartition) and not isinstance(axis, tuple) \
+            and not isinstance(axis, list):
+        axis = ("slice", "dp")
     return jax.device_put(jnp.asarray(out), NamedSharding(mesh, P(axis)))
 
 
-def sign_precompute(mesh, part: HaloPartition, x_sharded, num_hops,
+def sign_precompute(mesh, part, x_sharded, num_hops,
                     store_dtype=jnp.bfloat16, axis="dp"):
     """K sweeps of the halo SpMM: returns [X, AX, ..., A^K X], each
     node-sharded and cast to `store_dtype` (reference SIGN transform:
     gammagl/transforms/sign.py:7, which materializes dense scipy powers —
     impossible at papers100M; here each sweep is one all_to_all + local
     segment-sum, and the graph can be dropped afterwards)."""
-    spmm = jax.jit(make_halo_spmm(mesh, part, axis))
+    spmm = jax.jit(_make_spmm(mesh, part, axis))
     ops = [x_sharded.astype(store_dtype)]
     h = x_sharded
     for _ in range(num_hops):
@@ -83,7 +99,7 @@ def _glorot(rng, fan_in, fan_out):
     return jnp.asarray(rng.uniform(-s, s, (fan_in, fan_out)), jnp.float32)
 
 
-def make_partitioned_gcn_train(mesh, part: HaloPartition, feat_dim,
+def make_partitioned_gcn_train(mesh, part, feat_dim,
                                hidden_dim, num_classes, num_layers=2,
                                compute_dtype=jnp.bfloat16, remat=True,
                                learning_rate=1e-2, weight_decay=0.0,
@@ -97,7 +113,7 @@ def make_partitioned_gcn_train(mesh, part: HaloPartition, feat_dim,
     sharded P(axis) (mask is 0 on pads and non-train rows). Params are
     replicated f32; activations run in `compute_dtype`.
     """
-    spmm = make_halo_spmm(mesh, part, axis)
+    spmm = _make_spmm(mesh, part, axis)
     rng = np.random.default_rng(seed)
     dims = [feat_dim] + [hidden_dim] * (num_layers - 1) + [num_classes]
     params = {f"w{i}": _glorot(rng, dims[i], dims[i + 1])
