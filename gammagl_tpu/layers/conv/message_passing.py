@@ -57,12 +57,19 @@ class MessagePassing(nn.Module):
         and aggr='sum', the Pallas MXU kernel is used -- the analog of the
         reference's `use_ext` fast path.
         """
-        if plan is not None and aggr in ("sum", "mean"):
+        if plan is not None and aggr in ("sum", "mean", "max"):
             # CSRPlan -> gather + MXU segment matmul; BlockPairPlan
             # (Graph.auto_plan on banded graphs) -> gather-free one-hot
             # matmuls against VMEM-resident source blocks
             from gammagl_tpu.ops.pallas import (BlockPairPlan,
-                                                spmm_block_pair, spmm_csr)
+                                                spmm_block_pair, spmm_csr,
+                                                spmm_max_csr)
+            if aggr == "max":
+                if isinstance(plan, BlockPairPlan):
+                    return spmm(edge_index, edge_weight, x,
+                                num_nodes=num_nodes, reduce="max")
+                # segmented-scan + one-hot-pick kernel (segment_max.py)
+                return spmm_max_csr(x, edge_weight, plan)
             kernel = (spmm_block_pair if isinstance(plan, BlockPairPlan)
                       else spmm_csr)
             if aggr == "sum":

@@ -10,6 +10,10 @@ from gammagl_tpu.ops.pallas.segment_matmul import (  # noqa: F401
     pad_edge_weights,
     gather_rows,
 )
+from gammagl_tpu.ops.pallas.segment_max import (  # noqa: F401
+    segment_max_csr,
+    spmm_max_csr,
+)
 from gammagl_tpu.ops.pallas.block_pair import (  # noqa: F401
     BlockPairPlan,
     build_block_pair_plan,
@@ -31,6 +35,7 @@ from gammagl_tpu.ops.pallas.attention import (  # noqa: F401
 
 __all__ = ["CSRPlan", "BlockedCSRPlan", "build_csr_plan",
            "build_csr_plan_blocked", "segment_sum_csr", "spmm_csr",
+           "segment_max_csr", "spmm_max_csr",
            "pad_edge_weights", "gather_rows", "plan_gather_src",
            "plan_gather_dst", "segment_softmax_padded", "bspmm_csr",
            "flash_edge_attention", "flash_softmax_spmm",

@@ -29,7 +29,10 @@ GRAPHS = {
 
 def timeit(fn, args_cycle, iters=10, warmup=2):
     k = len(args_cycle)
-    for i in range(warmup):
+    # warm every buffer: jnp.asarray is LAZY through the remote runtime,
+    # so an untouched buffer's host->device transfer would land on the
+    # clock (hundreds of ms for arxiv-scale operands)
+    for i in range(max(warmup, k)):
         out = fn(*args_cycle[i % k])
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -77,7 +80,7 @@ def main():
     from gammagl_tpu.ops import (unsorted_segment_max,
                                  unsorted_segment_mean,
                                  unsorted_segment_sum)
-    from gammagl_tpu.ops.pallas import segment_sum_csr
+    from gammagl_tpu.ops.pallas import segment_max_csr, segment_sum_csr
     print(f"\n{'graph':>12} {'F':>4} {'op':>6} {'xla':>10} "
           f"{'pallas':>10} {'edges/s':>12}")
     for name in args.graphs:
@@ -95,9 +98,11 @@ def main():
                                 ("max", unsorted_segment_max)):
                 t_x = timeit(jax.jit(lambda m: op(m, dj, N)),
                              [(m,) for m in msgs], args.iters)
-                if op_name == "sum":
+                red = {"sum": segment_sum_csr,
+                       "max": segment_max_csr}.get(op_name)
+                if red is not None:
                     t_p = timeit(
-                        jax.jit(lambda m: segment_sum_csr(
+                        jax.jit(lambda m, red=red: red(
                             jnp.take(m, perm, axis=0), plan)),
                         [(m,) for m in msgs], args.iters)
                     p_str = f"{t_p * 1e3:>9.2f}m"
