@@ -12,7 +12,9 @@ from gammagl_tpu.ops.pallas.segment_matmul import (  # noqa: F401
 )
 from gammagl_tpu.ops.pallas.segment_max import (  # noqa: F401
     segment_max_csr,
+    segment_min_csr,
     spmm_max_csr,
+    spmm_min_csr,
 )
 from gammagl_tpu.ops.pallas.block_pair import (  # noqa: F401
     BlockPairPlan,
@@ -35,7 +37,8 @@ from gammagl_tpu.ops.pallas.attention import (  # noqa: F401
 
 __all__ = ["CSRPlan", "BlockedCSRPlan", "build_csr_plan",
            "build_csr_plan_blocked", "segment_sum_csr", "spmm_csr",
-           "segment_max_csr", "spmm_max_csr",
+           "segment_max_csr", "spmm_max_csr", "segment_min_csr",
+           "spmm_min_csr",
            "pad_edge_weights", "gather_rows", "plan_gather_src",
            "plan_gather_dst", "segment_softmax_padded", "bspmm_csr",
            "flash_edge_attention", "flash_softmax_spmm",

@@ -45,7 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 from gammagl_tpu.ops.pallas.segment_matmul import (
     BlockedCSRPlan, _edge_weights_padded, _segment_matmul, gather_rows)
 
-__all__ = ["segment_max_csr", "spmm_max_csr"]
+__all__ = ["segment_max_csr", "spmm_max_csr", "segment_min_csr",
+           "spmm_min_csr"]
 
 
 def _cdiv(a, b):
@@ -253,3 +254,39 @@ def _spmm_max_one(x, edge_weight, plan, interpret, weights_padded):
                  else _edge_weights_padded(edge_weight, plan, x.dtype))
         msg = msg * w_pad[:, None].astype(msg.dtype)
     return _segment_max(msg, plan, interpret)
+
+
+def segment_min_csr(msg_pad, plan, interpret=False):
+    """Segment-min on the same kernel: min(x) = -max(-x). Negation is
+    bitwise-exact (sign-bit flip), so the f32 exactness and the VJP's
+    equality winners carry over; empty rows are 0 (`ops.segment_min`)."""
+    out = -_segment_max(-msg_pad, plan, interpret)[:plan.num_nodes]
+    return jnp.where(jnp.isposinf(out), jnp.zeros((), out.dtype), out)
+
+
+def spmm_min_csr(x, edge_weight, plan, interpret=False,
+                 weights_padded=False):
+    """out[d] = min_{(s,d)} w_sd * x[s] (see `spmm_max_csr`)."""
+    if isinstance(plan, BlockedCSRPlan):
+        out = None
+        for sub in plan.blocks:
+            part = -_spmm_max_neg_one(x, edge_weight, sub, interpret,
+                                      weights_padded)
+            out = part if out is None else jnp.minimum(out, part)
+        out = out[:plan.num_nodes]
+        return jnp.where(jnp.isposinf(out), jnp.zeros((), out.dtype), out)
+    out = -_spmm_max_neg_one(x, edge_weight, plan, interpret,
+                             weights_padded)[:plan.num_nodes]
+    return jnp.where(jnp.isposinf(out), jnp.zeros((), out.dtype), out)
+
+
+def _spmm_max_neg_one(x, edge_weight, plan, interpret, weights_padded):
+    """max of NEGATED weighted messages (min building block; the weight
+    multiply happens before negation so w*x semantics match the XLA
+    reduce='min' path)."""
+    msg = gather_rows(x, plan, "src")
+    if edge_weight is not None:
+        w_pad = (edge_weight if weights_padded
+                 else _edge_weights_padded(edge_weight, plan, x.dtype))
+        msg = msg * w_pad[:, None].astype(msg.dtype)
+    return _segment_max(-msg, plan, interpret)

@@ -16,7 +16,8 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from gammagl_tpu.ops.segment import (segment_max, segment_mean, segment_sum)
+from gammagl_tpu.ops.segment import (segment_max, segment_mean, segment_min,
+                                     segment_sum)
 
 __all__ = ["spmm", "bspmm", "gspmm"]
 
@@ -32,7 +33,7 @@ def spmm(edge_index, edge_weight, x, num_nodes: Optional[int] = None,
     edge_weight : (E,) or None
     x : (N, F) node features
     num_nodes : static int; defaults to x.shape[0]
-    reduce : 'sum' | 'mean' | 'max'
+    reduce : 'sum' | 'mean' | 'max' | 'min'
     """
     if num_nodes is None:
         num_nodes = x.shape[0]
@@ -48,6 +49,8 @@ def spmm(edge_index, edge_weight, x, num_nodes: Optional[int] = None,
         return segment_mean(msg, dst, num_nodes)
     if reduce == "max":
         return segment_max(msg, dst, num_nodes)
+    if reduce == "min":
+        return segment_min(msg, dst, num_nodes)
     raise ValueError(f"unknown reduce {reduce!r}")
 
 

@@ -149,3 +149,39 @@ def test_segment_max_segment_spans_tiles():
     out = segment_max_csr(jnp.asarray(_msg_in_plan_order(plan, x[src])),
                           plan, interpret=INTERP)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_segment_min_csr_and_spmm_min():
+    from gammagl_tpu.ops import segment_min
+    from gammagl_tpu.ops.pallas import segment_min_csr, spmm_min_csr
+
+    src, dst, w, x = _case(7, 24, 110, 6)
+    plan = build_csr_plan(src, dst, 24, R=8, ET=16)
+    msg = x[src]
+    ref = segment_min(jnp.asarray(msg), jnp.asarray(dst), 24)
+    out = segment_min_csr(jnp.asarray(_msg_in_plan_order(plan, msg)),
+                          plan, interpret=INTERP)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    ref2 = spmm(jnp.asarray(np.stack([src, dst])), jnp.asarray(w),
+                jnp.asarray(x), num_nodes=24, reduce="min")
+    out2 = spmm_min_csr(jnp.asarray(x), jnp.asarray(w), plan,
+                        interpret=INTERP)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-6)
+    # blocked plan
+    bplan = build_csr_plan_blocked(src, dst, 24, R=8, ET=16,
+                                   num_src_blocks=2)
+    out3 = spmm_min_csr(jnp.asarray(x), jnp.asarray(w), bplan,
+                        interpret=INTERP)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-6)
+    # grad parity
+    g1 = jax.grad(lambda x: (spmm_min_csr(x, jnp.asarray(w), plan,
+                                          interpret=INTERP) ** 2).sum())(
+        jnp.asarray(x))
+    g2 = jax.grad(lambda x: (spmm(jnp.asarray(np.stack([src, dst])),
+                                  jnp.asarray(w), x, num_nodes=24,
+                                  reduce="min") ** 2).sum())(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-5)
