@@ -102,6 +102,10 @@ def main():
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--rcm", action="store_true",
                     help="RCM reorder to shrink halos")
+    ap.add_argument("--slices", type=int, default=1,
+                    help=">1: two-level halo over a (slices, dp) mesh — "
+                         "ICI all_to_all within a slice, slice-deduped "
+                         "DCN all_to_all across (parallel/hier_halo.py)")
     ap.add_argument("--ckpt", default=None,
                     help="directory for orbax sharded checkpoints: "
                          "resume from it if present, save periodically")
@@ -143,11 +147,28 @@ def main():
         [np.asarray(ei), np.tile(np.arange(n, dtype=np.int64), (2, 1))], 1)
     # host-side norm: the full edge list must never land on one device
     w = calc_gcn_norm_np(ei, n)
-    mesh = make_mesh(axis_names=("dp",))
-    part = build_halo_partition(np.asarray(ei), n, ndev, w)
-    print(f"partition: rows/chip {part.rows_per:,}, halo/peer "
-          f"{part.halo_per_peer:,}, edges/chip {part.edge_index.shape[2]:,} "
-          f"({time.perf_counter() - t0:.1f}s)")
+    if args.slices > 1:
+        from gammagl_tpu.parallel import (build_hier_halo_partition,
+                                          traffic_report)
+        assert ndev % args.slices == 0, (ndev, args.slices)
+        dp = ndev // args.slices
+        mesh = make_mesh(shape=(args.slices, dp),
+                         axis_names=("slice", "dp"))
+        part = build_hier_halo_partition(np.asarray(ei), n, args.slices,
+                                         dp, w)
+        rep = traffic_report(part, max(f, args.hidden), cdtype)
+        print(f"partition: {args.slices}x{dp} mesh, rows/chip "
+              f"{part.rows_per:,}, halo intra {part.h_intra:,} / inter "
+              f"{part.h_inter:,}; DCN {rep['dcn_bytes'] / 1e6:.1f} MB/layer "
+              f"(dedup {rep['dcn_dedup_factor']:.1f}x vs flat) "
+              f"({time.perf_counter() - t0:.1f}s)")
+    else:
+        mesh = make_mesh(axis_names=("dp",))
+        part = build_halo_partition(np.asarray(ei), n, ndev, w)
+        print(f"partition: rows/chip {part.rows_per:,}, halo/peer "
+              f"{part.halo_per_peer:,}, edges/chip "
+              f"{part.edge_index.shape[2]:,} "
+              f"({time.perf_counter() - t0:.1f}s)")
 
     xs = shard_nodes(x, mesh, part, dtype=np.float32)
     ys = shard_nodes(y, mesh, part)

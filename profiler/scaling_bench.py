@@ -60,6 +60,33 @@ def main():
         print(f"devices={p}: {dt * 1e3:8.2f} ms  {rate:10.3e} edges/s  "
               f"scaling-eff {eff:5.1%}")
 
+    # two-level (slice x dp) tier: same SpMM over a 2-slice mesh with
+    # slice-deduped DCN traffic (parallel/hier_halo.py)
+    if len(devices) >= 4:
+        from gammagl_tpu.parallel.hier_halo import (
+            build_hier_halo_partition, make_hier_halo_spmm, traffic_report)
+        S, D = 2, min(4, len(devices) // 2)
+        mesh = Mesh(np.asarray(devices[:S * D]).reshape(S, D),
+                    ("slice", "dp"))
+        part = build_hier_halo_partition(ei, args.nodes, S, D, w)
+        fn = jax.jit(make_hier_halo_spmm(mesh, part))
+        total = part.num_parts * part.rows_per
+        xs = [jax.device_put(
+            jnp.asarray(rng.normal(size=(total, args.feat)).astype(
+                np.float32)), NamedSharding(mesh, P(("slice", "dp"))))
+            for _ in range(3)]
+        jax.block_until_ready(fn(xs[0]))
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            out = fn(xs[i % 3])
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.iters
+        rep = traffic_report(part, args.feat, jnp.float32)
+        print(f"hier {S}x{D}: {dt * 1e3:8.2f} ms  "
+              f"{args.edges / dt:10.3e} edges/s  DCN "
+              f"{rep['dcn_bytes'] / 1e6:.1f} MB/layer "
+              f"(dedup {rep['dcn_dedup_factor']:.1f}x vs flat)")
+
 
 if __name__ == "__main__":
     main()
