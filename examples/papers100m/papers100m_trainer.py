@@ -106,6 +106,14 @@ def main():
                     help=">1: two-level halo over a (slices, dp) mesh — "
                          "ICI all_to_all within a slice, slice-deduped "
                          "DCN all_to_all across (parallel/hier_halo.py)")
+    ap.add_argument("--xla-spmm", action="store_true",
+                    help="single-level tier only: use the flat XLA-scatter "
+                         "halo instead of the overlapped Pallas tier "
+                         "(parallel/halo_plan.py, 3.9x/chip at arxiv "
+                         "scale bf16; the default on TPU backends)")
+    ap.add_argument("--planned", action="store_true",
+                    help="force the planned tier even off-TPU (runs the "
+                         "kernel in slow interpret mode)")
     ap.add_argument("--ckpt", default=None,
                     help="directory for orbax sharded checkpoints: "
                          "resume from it if present, save periodically")
@@ -161,6 +169,15 @@ def main():
               f"{part.rows_per:,}, halo intra {part.h_intra:,} / inter "
               f"{part.h_inter:,}; DCN {rep['dcn_bytes'] / 1e6:.1f} MB/layer "
               f"(dedup {rep['dcn_dedup_factor']:.1f}x vs flat) "
+              f"({time.perf_counter() - t0:.1f}s)")
+    elif args.planned or (jax.default_backend() == "tpu"
+                          and not args.xla_spmm):
+        from gammagl_tpu.parallel import build_halo_partition_planned
+        mesh = make_mesh(axis_names=("dp",))
+        part = build_halo_partition_planned(np.asarray(ei), n, ndev, w)
+        print(f"partition (planned/overlap): rows/chip {part.rows_per:,}, "
+              f"halo/peer {part.halo_per_peer:,}, interior+boundary "
+              f"tiles/chip {part.in_tb.shape[1]}+{part.bd_tb.shape[1]} "
               f"({time.perf_counter() - t0:.1f}s)")
     else:
         mesh = make_mesh(axis_names=("dp",))

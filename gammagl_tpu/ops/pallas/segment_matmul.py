@@ -44,7 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["CSRPlan", "BlockedCSRPlan", "build_csr_plan",
            "build_csr_plan_blocked", "segment_sum_csr", "spmm_csr",
-           "pad_edge_weights", "gather_rows"]
+           "pad_edge_weights", "gather_rows", "segment_matmul_dyn",
+           "segment_matmul_dyn_vjp"]
 
 
 def _cdiv(a, b):
@@ -137,29 +138,38 @@ def build_csr_plan(src, dst, num_nodes, num_src=None, R=256, ET=512):
         num_nodes=num_nodes, num_src=num_src, num_edges=E, R=R, ET=ET)
 
 
-def _segment_matmul_pallas(msg, w_pad, plan, interpret=False):
-    """Weighted sorted segment sum: out[r] = sum_{e: row(e)=r} w[e] * msg[e].
+def segment_matmul_dyn(msg, w2d, local_row, tile_block, tile_first, *,
+                       R, ET, nblocks, interpret=False):
+    """The segment-matmul kernel with the plan layout as *traced* operands.
 
-    msg:   (E_pad, F) in padded sorted order
-    w_pad: (E_pad,) with zeros at pads (zeros also drop padded messages, so
-           no separate validity mask is needed)
+    Same computation as `segment_sum_csr` but `local_row`/`tile_block`/
+    `tile_first`/`w2d` are jnp arrays instead of plan constants, so one
+    compiled program can serve differently-shaped layouts of equal padded
+    size — the per-device plans of a `shard_map` body in particular
+    (parallel/halo_plan.py stacks one plan per device and feeds each shard
+    its own slice). Only the tile geometry (R, ET, T, nblocks) is static.
+
+    msg:        (T*ET, F) messages in padded plan order
+    w2d:        (T, 1, ET) weights, zero at pads
+    local_row:  (T, 1, ET) int32 in [0, R]; R = pad (one-hot drops it)
+    tile_block: (T,) int32 output block per tile (tiles of a block
+                consecutive)
+    tile_first: (T,) int32 1 on a block's first tile
     Returns (nblocks*R, F).
     """
     # auto-interpret off-TPU so library callers never thread the flag
     interpret = interpret or jax.default_backend() != "tpu"
-    R, ET, T = plan.R, plan.ET, plan.T
+    T = int(tile_block.shape[0])
     E_pad, F = msg.shape
-    assert E_pad == plan.E_pad, (E_pad, plan.E_pad)
+    assert E_pad == T * ET, (E_pad, T, ET)
     F_pad = _cdiv(F, 128) * 128
     if F_pad != F:
         msg = jnp.pad(msg, ((0, 0), (0, F_pad - F)))
     FT = min(512, F_pad)
     while F_pad % FT:
         FT //= 2
-    # (T, 1, ET): Mosaic requires the last two block dims to match the array
-    # when they are not multiples of (8, 128).
-    local_row = jnp.asarray(plan.local_row.reshape(T, 1, ET))
-    w2d = w_pad.reshape(T, 1, ET)
+    local_row = local_row.reshape(T, 1, ET)
+    w2d = w2d.reshape(T, 1, ET)
 
     # The one-hot factor carries the edge weight. For f32 we run a manual
     # bf16x3 decomposition (split weights and messages into bf16 hi+lo,
@@ -216,17 +226,78 @@ def _segment_matmul_pallas(msg, w_pad, plan, interpret=False):
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((plan.nblocks * R, F_pad), msg.dtype),
+        out_shape=jax.ShapeDtypeStruct((nblocks * R, F_pad), msg.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * R * ET * F_pad * T,
-            bytes_accessed=(E_pad * F_pad + plan.nblocks * R * F_pad)
+            bytes_accessed=(E_pad * F_pad + nblocks * R * F_pad)
             * msg.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(jnp.asarray(plan.tile_block), jnp.asarray(plan.tile_first),
-      local_row, w2d, msg)
+    )(tile_block, tile_first, local_row, w2d, msg)
     return out[:, :F]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _segment_matmul_dyn_vjp(msg, w2d, local_row, tile_block, tile_first,
+                            R, ET, nblocks, interpret):
+    return segment_matmul_dyn(msg, w2d, local_row, tile_block, tile_first,
+                              R=R, ET=ET, nblocks=nblocks,
+                              interpret=interpret)
+
+
+def _segment_matmul_dyn_fwd(msg, w2d, local_row, tile_block, tile_first,
+                            R, ET, nblocks, interpret):
+    out = segment_matmul_dyn(msg, w2d, local_row, tile_block, tile_first,
+                             R=R, ET=ET, nblocks=nblocks,
+                             interpret=interpret)
+    return out, (msg, w2d, local_row, tile_block)
+
+
+def _segment_matmul_dyn_bwd(R, ET, nblocks, interpret, res, g):
+    # Same math as _segment_matmul_bwd, with rows rebuilt from the traced
+    # layout arrays: row(e) = tile_block[t]*R + local_row[e]. Pad edges
+    # carry w=0, which zeroes both cotangent leaks through the clamp.
+    msg, w2d, local_row, tile_block = res
+    T = tile_block.shape[0]
+    rows = jnp.minimum(tile_block[:, None, None] * R + local_row,
+                       nblocks * R - 1).reshape(-1)
+    g_rows = jnp.take(g, rows, axis=0)
+    dmsg = g_rows * w2d.reshape(-1)[:, None]
+    valid = (local_row < R).reshape(-1)
+    dw = (jnp.sum(g_rows * msg, axis=-1)
+          * valid.astype(msg.dtype)).reshape(T, 1, ET).astype(w2d.dtype)
+    f0 = jax.dtypes.float0
+    return (dmsg, dw,
+            np.zeros(local_row.shape, f0), np.zeros(tile_block.shape, f0),
+            np.zeros(tile_block.shape, f0))
+
+
+_segment_matmul_dyn_vjp.defvjp(_segment_matmul_dyn_fwd,
+                               _segment_matmul_dyn_bwd)
+
+
+def segment_matmul_dyn_vjp(msg, w2d, local_row, tile_block, tile_first, *,
+                           R, ET, nblocks, interpret=False):
+    """Differentiable `segment_matmul_dyn` (grads to msg and w2d)."""
+    return _segment_matmul_dyn_vjp(msg, w2d, local_row, tile_block,
+                                   tile_first, R, ET, nblocks, interpret)
+
+
+def _segment_matmul_pallas(msg, w_pad, plan, interpret=False):
+    """Weighted sorted segment sum: out[r] = sum_{e: row(e)=r} w[e] * msg[e].
+
+    msg:   (E_pad, F) in padded sorted order
+    w_pad: (E_pad,) with zeros at pads (zeros also drop padded messages, so
+           no separate validity mask is needed)
+    Returns (nblocks*R, F).
+    """
+    assert msg.shape[0] == plan.E_pad, (msg.shape, plan.E_pad)
+    return segment_matmul_dyn(
+        msg, w_pad.reshape(plan.T, 1, plan.ET),
+        jnp.asarray(plan.local_row.reshape(plan.T, 1, plan.ET)),
+        jnp.asarray(plan.tile_block), jnp.asarray(plan.tile_first),
+        R=plan.R, ET=plan.ET, nblocks=plan.nblocks, interpret=interpret)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))

@@ -40,6 +40,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from gammagl_tpu.parallel.halo import (HaloPartition, build_halo_partition,
                                        make_halo_spmm)
+from gammagl_tpu.parallel.halo_plan import (PlannedHaloPartition,
+                                            make_halo_spmm_planned)
 from gammagl_tpu.parallel.hier_halo import (HierHaloPartition,
                                             make_hier_halo_spmm)
 
@@ -48,12 +50,17 @@ __all__ = ["pad_nodes", "shard_nodes", "sign_precompute",
 
 
 def _make_spmm(mesh, part, axis):
-    """Single-level (ICI) or two-level (ICI+DCN) halo SpMM by partition
-    type; both recipes below work unchanged on either tier."""
+    """Halo SpMM tier by partition type: flat ICI (`HaloPartition`),
+    two-level ICI+DCN (`HierHaloPartition`), or overlapped Pallas-kernel
+    (`PlannedHaloPartition`, 3.9x the flat tier per chip at arxiv scale
+    bf16 — build with `build_halo_partition_planned`). All recipes below
+    work unchanged on any tier."""
     if isinstance(part, HierHaloPartition):
         axes = tuple(axis) if isinstance(axis, (tuple, list)) \
             else ("slice", "dp")
         return make_hier_halo_spmm(mesh, part, axes)
+    if isinstance(part, PlannedHaloPartition):
+        return make_halo_spmm_planned(mesh, part, axis)
     return make_halo_spmm(mesh, part, axis)
 
 

@@ -53,13 +53,19 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-def build_halo_partition(edge_index, num_nodes, num_parts,
-                         edge_weight=None):
-    """Contiguous node blocks; edges assigned to the dst owner."""
+def _halo_sets(edge_index, num_nodes, num_parts, edge_weight=None,
+               row_align=8):
+    """Shared host-side partition analysis (also used by halo_plan.py).
+
+    Returns (rows_per, H, part_edges, halo, send_idx):
+      part_edges[p] = (sub (2,E_p) global ids, w_p, src_owner_p)
+      halo[p][q]    = sorted global src ids device p needs from q
+      send_idx      = (P, P, H) local row ids each OWNER sends to each peer
+    """
     ei = np.asarray(edge_index)
     w = (np.asarray(edge_weight) if edge_weight is not None
          else np.ones(ei.shape[1], np.float32))
-    rows_per = _round_up(-(-num_nodes // num_parts), 8)
+    rows_per = _round_up(-(-num_nodes // num_parts), row_align)
     owner_dst = np.minimum(ei[1] // rows_per, num_parts - 1)
     owner_src = np.minimum(ei[0] // rows_per, num_parts - 1)
 
@@ -79,11 +85,25 @@ def build_halo_partition(edge_index, num_nodes, num_parts,
     H = max([1] + [len(halo[p][q]) for p in range(num_parts)
                    for q in range(num_parts)])
     H = _round_up(H, 8)
+    send_idx = np.zeros((num_parts, num_parts, H), np.int32)
+    for p in range(num_parts):
+        for q in range(num_parts):
+            if q == p:
+                continue
+            # q must send device p the rows halo[p][q]: SENDER-side record
+            send_idx[q, p, :len(halo[p][q])] = halo[p][q] - q * rows_per
+    return rows_per, H, part_edges, halo, send_idx
+
+
+def build_halo_partition(edge_index, num_nodes, num_parts,
+                         edge_weight=None):
+    """Contiguous node blocks; edges assigned to the dst owner."""
+    rows_per, H, part_edges, halo, send_idx = _halo_sets(
+        edge_index, num_nodes, num_parts, edge_weight)
     E_max = _round_up(max(1, max(pe[0].shape[1] for pe in part_edges)), 128)
 
     edge_out = np.zeros((num_parts, 2, E_max), np.int32)
     w_out = np.zeros((num_parts, E_max), np.float32)
-    send_idx = np.zeros((num_parts, num_parts, H), np.int32)
     for p in range(num_parts):
         sub, sub_w, sub_src_owner = part_edges[p]
         E_p = sub.shape[1]
@@ -100,8 +120,6 @@ def build_halo_partition(edge_index, num_nodes, num_parts,
                 continue
             pos = np.searchsorted(halo[p][q], sub[0][sel])
             src_local[sel] = rows_per + q * H + pos
-            # q must send those rows: record on the SENDER side
-            send_idx[q, p, :len(halo[p][q])] = halo[p][q] - q * rows_per
         dst_local = sub[1] - p * rows_per
         edge_out[p, 0, :E_p] = src_local
         edge_out[p, 1, :E_p] = dst_local

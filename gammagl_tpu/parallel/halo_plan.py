@@ -1,0 +1,264 @@
+"""Overlapped, kernel-backed halo SpMM — the "planned halo" tier.
+
+Two upgrades over `parallel/halo.py` (SURVEY.md §7 hard-parts: "halo
+exchange overlap" and "scatter performance on TPU"; no reference analog —
+the reference is single-device, gammagl/ has no distributed layer):
+
+1. **Interior/boundary edge split.** `halo.make_halo_spmm` concatenates
+   the received halo rows into the gather table, so every local FLOP waits
+   on the `all_to_all`. Here edges whose source is locally owned
+   ("interior") aggregate straight from the resident block with NO data
+   dependency on the collective; XLA's async collectives then overlap the
+   ICI exchange with the interior SpMM, and only the (much smaller)
+   boundary aggregation waits on the wire.
+
+2. **Pallas local aggregation.** The per-device reduce runs on the MXU
+   one-hot segment-matmul (`ops/pallas/segment_matmul.py`) instead of the
+   XLA scatter path (~4x per chip at arxiv scale, measured bf16 F=256).
+   One per-device `CSRPlan` per edge class is built host-side, padded to a
+   common tile count, and stacked into sharded operands — the `shard_map`
+   body stays a single program; each shard prefetches its own layout
+   (`segment_matmul_dyn_vjp` takes the plan arrays as traced inputs).
+
+Weights are baked into the stacked plans at build time (GCN norms are
+static per graph); per-step edge weights need the decomposed tier.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gammagl_tpu.ops import segment_sum
+from gammagl_tpu.ops.pallas.segment_matmul import (build_csr_plan,
+                                                   segment_matmul_dyn_vjp)
+from gammagl_tpu.parallel.halo import _halo_sets
+
+__all__ = ["PlannedHaloPartition", "build_halo_partition_planned",
+           "make_halo_spmm_planned"]
+
+
+class PlannedHaloPartition(NamedTuple):
+    """Per-device interior/boundary kernel plans, stacked over devices.
+
+    `*_src` index the device's OWN rows (interior, in [0, rows_per)) or its
+    received halo table (boundary, in [0, P*H)); `*_w` carry the edge
+    weights already permuted into each plan's padded order (zero at pads);
+    `*_lr/tb/tf` are the segment-matmul layout arrays (see CSRPlan).
+    """
+    send_idx: np.ndarray     # (P, P, H) owner-side rows to send to peer
+    in_src: np.ndarray       # (P, T_in*ET)
+    in_w: np.ndarray         # (P, T_in, 1, ET) f32
+    in_lr: np.ndarray        # (P, T_in, 1, ET) int32
+    in_tb: np.ndarray        # (P, T_in) int32
+    in_tf: np.ndarray        # (P, T_in) int32
+    bd_src: np.ndarray       # (P, T_bd*ET)
+    bd_w: np.ndarray
+    bd_lr: np.ndarray
+    bd_tb: np.ndarray
+    bd_tf: np.ndarray
+    num_parts: int
+    rows_per: int
+    halo_per_peer: int
+    num_nodes: int
+    R: int
+    ET: int
+    # PlannedHaloPartition of the REVERSED graph (same weights): dx = A^T g
+    # runs as one more planned halo SpMM instead of an XLA scatter-add
+    # (the distributed analog of spmm_csr's _swap_plan backward).
+    transpose: object = None
+
+    @property
+    def nblocks(self):
+        return -(-self.rows_per // self.R)
+
+
+def _pad_plans(plans, weights, R, ET, nblocks):
+    """Stack per-device CSRPlans to a common tile count T_max.
+
+    Pad tiles continue the LAST real block (tb = nblocks-1, tf = 0, w = 0,
+    local_row = R): tiles of one output block must be consecutive in the
+    grid for the kernel's accumulate-in-VMEM pattern, and the final real
+    tile already belongs to block nblocks-1, so appending there never
+    revisits a flushed block.
+    """
+    T_max = max(p.T for p in plans)
+    src, w_s, lr, tb, tf = [], [], [], [], []
+    for p, w in zip(plans, weights):
+        pad_t = T_max - p.T
+        pad_e = pad_t * ET
+        src.append(np.pad(p.src_pad, (0, pad_e)))
+        w_s.append(np.pad(w, (0, pad_e)).reshape(T_max, 1, ET))
+        lr.append(np.pad(p.local_row, (0, pad_e),
+                         constant_values=R).reshape(T_max, 1, ET))
+        tb.append(np.pad(p.tile_block, (0, pad_t),
+                         constant_values=nblocks - 1))
+        tf.append(np.pad(p.tile_first, (0, pad_t)))
+    return (np.stack(src).astype(np.int32),
+            np.stack(w_s).astype(np.float32),
+            np.stack(lr).astype(np.int32),
+            np.stack(tb).astype(np.int32),
+            np.stack(tf).astype(np.int32))
+
+
+def build_halo_partition_planned(edge_index, num_nodes, num_parts,
+                                 edge_weight=None, R=256, ET=512,
+                                 with_transpose=True):
+    """Contiguous node blocks + per-device interior/boundary kernel plans.
+
+    Same partition/halo analysis as `build_halo_partition` (`_halo_sets`),
+    then each device's edge list is split by source ownership and laid out
+    for the segment-matmul kernel. R is clipped so tiny partitions keep at
+    least one full row block. With `with_transpose` (default) the reversed
+    graph's partition is attached so `make_halo_spmm_planned` can run the
+    backward pass through the kernel too.
+    """
+    if with_transpose:
+        ei = np.asarray(edge_index)
+        part_t = build_halo_partition_planned(
+            ei[[1, 0]], num_nodes, num_parts, edge_weight, R=R, ET=ET,
+            with_transpose=False)
+        return build_halo_partition_planned(
+            ei, num_nodes, num_parts, edge_weight, R=R, ET=ET,
+            with_transpose=False)._replace(transpose=part_t)
+    rows_per, H, part_edges, halo, send_idx = _halo_sets(
+        edge_index, num_nodes, num_parts, edge_weight)
+    R = min(R, _round8(rows_per))
+    nblocks = -(-rows_per // R)
+
+    in_plans, in_w, bd_plans, bd_w = [], [], [], []
+    for p in range(num_parts):
+        sub, sub_w, src_owner = part_edges[p]
+        own = src_owner == p
+        dst_local = sub[1] - p * rows_per
+
+        plan_i = build_csr_plan(sub[0][own] - p * rows_per, dst_local[own],
+                                rows_per, num_src=rows_per, R=R, ET=ET)
+        in_plans.append(plan_i)
+        in_w.append(_permute_w(sub_w[own], plan_i))
+
+        # boundary: src indexes the received halo table [q*H + pos]
+        bsel = ~own
+        src_halo = np.zeros(int(bsel.sum()), np.int64)
+        bsrc = sub[0][bsel]
+        bowner = src_owner[bsel]
+        for q in range(num_parts):
+            if q == p:
+                continue
+            qm = bowner == q
+            if qm.any():
+                src_halo[qm] = q * H + np.searchsorted(halo[p][q], bsrc[qm])
+        plan_b = build_csr_plan(src_halo, dst_local[bsel], rows_per,
+                                num_src=num_parts * H, R=R, ET=ET)
+        bd_plans.append(plan_b)
+        bd_w.append(_permute_w(sub_w[bsel], plan_b))
+
+    in_src, in_ws, in_lr, in_tb, in_tf = _pad_plans(in_plans, in_w, R, ET,
+                                                    nblocks)
+    bd_src, bd_ws, bd_lr, bd_tb, bd_tf = _pad_plans(bd_plans, bd_w, R, ET,
+                                                    nblocks)
+    return PlannedHaloPartition(
+        send_idx=send_idx, in_src=in_src, in_w=in_ws, in_lr=in_lr,
+        in_tb=in_tb, in_tf=in_tf, bd_src=bd_src, bd_w=bd_ws, bd_lr=bd_lr,
+        bd_tb=bd_tb, bd_tf=bd_tf, num_parts=num_parts, rows_per=rows_per,
+        halo_per_peer=H, num_nodes=num_nodes, R=R, ET=ET)
+
+
+def _round8(x):
+    return max(8, (x // 8) * 8)
+
+
+def _permute_w(w, plan):
+    """Host-side `pad_edge_weights`: class-local weights -> padded order."""
+    E = len(w)
+    if E == 0:
+        return np.zeros(plan.E_pad, np.float32)
+    w_pad = np.where(plan.perm < E, np.asarray(w, np.float64)[
+        np.minimum(plan.perm, E - 1)], 0.0)
+    return w_pad.astype(np.float32)
+
+
+def make_halo_spmm_planned(mesh: Mesh, part: PlannedHaloPartition,
+                           axis: str = "dp", kernel: bool = True,
+                           interpret: bool = False):
+    """Jit-able overlapped halo SpMM: x (P*rows_per, F) sharded -> same.
+
+    Per device: start the halo `all_to_all`, aggregate interior edges from
+    the resident block while it is in flight, then aggregate boundary
+    edges from the received table and add. `kernel=False` keeps the same
+    overlap structure on the XLA scatter path (for comparison and for
+    dtypes the kernel does not carry).
+    """
+    rows_per, H, nparts = part.rows_per, part.halo_per_peer, part.num_parts
+    R, ET, nblocks = part.R, part.ET, part.nblocks
+
+    def _agg(msg, w, lr, tb, tf):
+        if kernel:
+            return segment_matmul_dyn_vjp(
+                msg, w.astype(msg.dtype), lr, tb, tf,
+                R=R, ET=ET, nblocks=nblocks, interpret=interpret)[:rows_per]
+        rows = jnp.minimum(tb[:, None, None] * R + lr,
+                           nblocks * R).reshape(-1)
+        return segment_sum(msg * w.reshape(-1, 1).astype(msg.dtype),
+                           rows, nblocks * R + 1)[:rows_per]
+
+    spec = (P(axis),) * 12
+
+    # check_vma=False: pallas_call does not declare varying-mesh-axes on
+    # its out_shape, which the default shard_map validation rejects
+    @partial(shard_map, mesh=mesh, in_specs=spec, out_specs=P(axis),
+             check_vma=False)
+    def _spmm(x_blk, send_idx, in_src, in_w, in_lr, in_tb, in_tf,
+              bd_src, bd_w, bd_lr, bd_tb, bd_tf):
+        send = jnp.take(x_blk, send_idx[0].reshape(-1), axis=0,
+                        mode="clip").reshape(nparts, H, -1)
+        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
+                                  tiled=False)
+        # interior: no dependency on recv -> overlaps the collective
+        msg_in = jnp.take(x_blk, in_src[0], axis=0, mode="clip")
+        out = _agg(msg_in, in_w[0], in_lr[0], in_tb[0], in_tf[0])
+        table = recv.reshape(nparts * H, -1)
+        msg_bd = jnp.take(table, bd_src[0], axis=0, mode="clip")
+        return out + _agg(msg_bd, bd_w[0], bd_lr[0], bd_tb[0], bd_tf[0])
+
+    # KEEP the layout constants as numpy: closed-over device arrays are
+    # fetched back host-side at lowering time to embed as MLIR constants —
+    # through the remote-TPU tunnel that round trip is pathologically slow
+    # (observed 40+s for ~1 MB). Numpy closures embed directly.
+    consts = [np.asarray(a) for a in
+              (part.send_idx, part.in_src, part.in_w, part.in_lr,
+               part.in_tb, part.in_tf, part.bd_src, part.bd_w, part.bd_lr,
+               part.bd_tb, part.bd_tf)]
+
+    def run(x_sharded):
+        return _spmm(x_sharded, *consts)
+
+    if part.transpose is None:
+        return run
+
+    # Kernel-backed backward: the SpMM is linear in x with static weights,
+    # so dx = A^T g is the planned halo SpMM of the reversed graph --
+    # autodiff's alternative is the transpose of `take` (an XLA
+    # scatter-add over E_pad rows) plus a reversed all_to_all, which
+    # dominates the train step (measured ~2x whole-epoch win at papers100M
+    # synthetic scale).
+    run_t = make_halo_spmm_planned(
+        mesh, part.transpose._replace(transpose=None), axis=axis,
+        kernel=kernel, interpret=interpret)
+
+    @jax.custom_vjp
+    def spmm(x):
+        return run(x)
+
+    def _fwd(x):
+        return run(x), None
+
+    def _bwd(_, g):
+        return (run_t(g),)
+
+    spmm.defvjp(_fwd, _bwd)
+    return spmm
