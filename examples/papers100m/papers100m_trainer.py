@@ -155,23 +155,31 @@ def main():
         [np.asarray(ei), np.tile(np.arange(n, dtype=np.int64), (2, 1))], 1)
     # host-side norm: the full edge list must never land on one device
     w = calc_gcn_norm_np(ei, n)
+    planned = args.planned or (jax.default_backend() == "tpu"
+                               and not args.xla_spmm)
     if args.slices > 1:
         from gammagl_tpu.parallel import (build_hier_halo_partition,
+                                          build_hier_halo_partition_planned,
                                           traffic_report)
         assert ndev % args.slices == 0, (ndev, args.slices)
         dp = ndev // args.slices
         mesh = make_mesh(shape=(args.slices, dp),
                          axis_names=("slice", "dp"))
-        part = build_hier_halo_partition(np.asarray(ei), n, args.slices,
-                                         dp, w)
-        rep = traffic_report(part, max(f, args.hidden), cdtype)
-        print(f"partition: {args.slices}x{dp} mesh, rows/chip "
-              f"{part.rows_per:,}, halo intra {part.h_intra:,} / inter "
-              f"{part.h_inter:,}; DCN {rep['dcn_bytes'] / 1e6:.1f} MB/layer "
+        if planned:
+            part = build_hier_halo_partition_planned(
+                np.asarray(ei), n, args.slices, dp, w)
+            base = part.base
+        else:
+            part = base = build_hier_halo_partition(np.asarray(ei), n,
+                                                    args.slices, dp, w)
+        rep = traffic_report(base, max(f, args.hidden), cdtype)
+        print(f"partition{' (planned/overlap)' if planned else ''}: "
+              f"{args.slices}x{dp} mesh, rows/chip "
+              f"{base.rows_per:,}, halo intra {base.h_intra:,} / inter "
+              f"{base.h_inter:,}; DCN {rep['dcn_bytes'] / 1e6:.1f} MB/layer "
               f"(dedup {rep['dcn_dedup_factor']:.1f}x vs flat) "
               f"({time.perf_counter() - t0:.1f}s)")
-    elif args.planned or (jax.default_backend() == "tpu"
-                          and not args.xla_spmm):
+    elif planned:
         from gammagl_tpu.parallel import build_halo_partition_planned
         mesh = make_mesh(axis_names=("dp",))
         part = build_halo_partition_planned(np.asarray(ei), n, ndev, w)

@@ -17,9 +17,10 @@ from gammagl_tpu.parallel.hier_halo import (HierHaloPartition,
                                             build_hier_halo_partition,
                                             make_hier_halo_spmm,
                                             traffic_report)
-from gammagl_tpu.parallel.halo_plan import (PlannedHaloPartition,
-                                            build_halo_partition_planned,
-                                            make_halo_spmm_planned)
+from gammagl_tpu.parallel.halo_plan import (
+    PlannedHaloPartition, build_halo_partition_planned,
+    make_halo_spmm_planned, PlannedHierHaloPartition,
+    build_hier_halo_partition_planned, make_hier_halo_spmm_planned)
 
 from gammagl_tpu.parallel.strategies import (pipeline_apply, make_feature_sharded_spmm, relation_expert_spmm)
 from gammagl_tpu.parallel.full_graph import (pad_nodes, shard_nodes,
@@ -49,6 +50,9 @@ __all__ = [
     "PlannedHaloPartition",
     "build_halo_partition_planned",
     "make_halo_spmm_planned",
+    "PlannedHierHaloPartition",
+    "build_hier_halo_partition_planned",
+    "make_hier_halo_spmm_planned",
     "pipeline_apply",
     "make_feature_sharded_spmm",
     "relation_expert_spmm",

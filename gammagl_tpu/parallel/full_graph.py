@@ -41,7 +41,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from gammagl_tpu.parallel.halo import (HaloPartition, build_halo_partition,
                                        make_halo_spmm)
 from gammagl_tpu.parallel.halo_plan import (PlannedHaloPartition,
-                                            make_halo_spmm_planned)
+                                            PlannedHierHaloPartition,
+                                            make_halo_spmm_planned,
+                                            make_hier_halo_spmm_planned)
 from gammagl_tpu.parallel.hier_halo import (HierHaloPartition,
                                             make_hier_halo_spmm)
 
@@ -55,9 +57,11 @@ def _make_spmm(mesh, part, axis):
     (`PlannedHaloPartition`, 3.9x the flat tier per chip at arxiv scale
     bf16 — build with `build_halo_partition_planned`). All recipes below
     work unchanged on any tier."""
-    if isinstance(part, HierHaloPartition):
+    if isinstance(part, (HierHaloPartition, PlannedHierHaloPartition)):
         axes = tuple(axis) if isinstance(axis, (tuple, list)) \
             else ("slice", "dp")
+        if isinstance(part, PlannedHierHaloPartition):
+            return make_hier_halo_spmm_planned(mesh, part, axes)
         return make_hier_halo_spmm(mesh, part, axes)
     if isinstance(part, PlannedHaloPartition):
         return make_halo_spmm_planned(mesh, part, axis)
@@ -79,8 +83,8 @@ def shard_nodes(arr, mesh, part, axis="dp", fill=0, dtype=None):
     out = pad_nodes(arr, part, fill)
     if dtype is not None:
         out = out.astype(dtype)
-    if isinstance(part, HierHaloPartition) and not isinstance(axis, tuple) \
-            and not isinstance(axis, list):
+    if isinstance(part, (HierHaloPartition, PlannedHierHaloPartition)) \
+            and not isinstance(axis, (tuple, list)):
         axis = ("slice", "dp")
     return jax.device_put(jnp.asarray(out), NamedSharding(mesh, P(axis)))
 

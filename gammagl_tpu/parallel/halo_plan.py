@@ -37,9 +37,13 @@ from gammagl_tpu.ops import segment_sum
 from gammagl_tpu.ops.pallas.segment_matmul import (build_csr_plan,
                                                    segment_matmul_dyn_vjp)
 from gammagl_tpu.parallel.halo import _halo_sets
+from gammagl_tpu.parallel.hier_halo import (HierHaloPartition,
+                                            build_hier_halo_partition)
 
 __all__ = ["PlannedHaloPartition", "build_halo_partition_planned",
-           "make_halo_spmm_planned"]
+           "make_halo_spmm_planned", "PlannedHierHaloPartition",
+           "build_hier_halo_partition_planned",
+           "make_hier_halo_spmm_planned"]
 
 
 class PlannedHaloPartition(NamedTuple):
@@ -248,6 +252,202 @@ def make_halo_spmm_planned(mesh: Mesh, part: PlannedHaloPartition,
     # synthetic scale).
     run_t = make_halo_spmm_planned(
         mesh, part.transpose._replace(transpose=None), axis=axis,
+        kernel=kernel, interpret=interpret)
+
+    @jax.custom_vjp
+    def spmm(x):
+        return run(x)
+
+    def _fwd(x):
+        return run(x), None
+
+    def _bwd(_, g):
+        return (run_t(g),)
+
+    spmm.defvjp(_fwd, _bwd)
+    return spmm
+
+
+class PlannedHierHaloPartition(NamedTuple):
+    """Two-level (slice x dp) variant: three edge classes per device.
+
+    `base` keeps the sender tables and traffic counters of the underlying
+    `HierHaloPartition`; the stacked plan arrays are shaped (S, D, ...).
+    Sources index the own block (interior), the intra-slice ICI table
+    [0, D*H1) or the inter-slice DCN table [0, D*S*H2).
+    """
+    base: HierHaloPartition
+    in_src: np.ndarray
+    in_w: np.ndarray
+    in_lr: np.ndarray
+    in_tb: np.ndarray
+    in_tf: np.ndarray
+    ia_src: np.ndarray
+    ia_w: np.ndarray
+    ia_lr: np.ndarray
+    ia_tb: np.ndarray
+    ia_tf: np.ndarray
+    ir_src: np.ndarray
+    ir_w: np.ndarray
+    ir_lr: np.ndarray
+    ir_tb: np.ndarray
+    ir_tf: np.ndarray
+    R: int
+    ET: int
+    transpose: object = None
+
+    @property
+    def num_slices(self):
+        return self.base.num_slices
+
+    @property
+    def dp_per_slice(self):
+        return self.base.dp_per_slice
+
+    @property
+    def num_parts(self):
+        return self.base.num_parts
+
+    @property
+    def rows_per(self):
+        return self.base.rows_per
+
+    @property
+    def num_nodes(self):
+        return self.base.num_nodes
+
+    @property
+    def nblocks(self):
+        return -(-self.base.rows_per // self.R)
+
+
+def build_hier_halo_partition_planned(edge_index, num_nodes, num_slices,
+                                      dp_per_slice, edge_weight=None,
+                                      R=256, ET=512, with_transpose=True):
+    """Planned (overlap + kernel) layout on top of the two-level analysis.
+
+    Reuses `build_hier_halo_partition`'s local edge remap, then splits each
+    device's edges by source table (own / intra ICI / inter DCN) and lays
+    every class out for the segment-matmul kernel. The interior class
+    overlaps BOTH collectives; the intra class additionally overlaps the
+    DCN all_to_all + redistribute all_gather.
+    """
+    if with_transpose:
+        ei = np.asarray(edge_index)
+        part_t = build_hier_halo_partition_planned(
+            ei[[1, 0]], num_nodes, num_slices, dp_per_slice, edge_weight,
+            R=R, ET=ET, with_transpose=False)
+        return build_hier_halo_partition_planned(
+            ei, num_nodes, num_slices, dp_per_slice, edge_weight,
+            R=R, ET=ET, with_transpose=False)._replace(transpose=part_t)
+
+    base = build_hier_halo_partition(edge_index, num_nodes, num_slices,
+                                     dp_per_slice, edge_weight)
+    S, D = base.num_slices, base.dp_per_slice
+    rows_per, H1, H2 = base.rows_per, base.h_intra, base.h_inter
+    R = min(R, _round8(rows_per))
+    nblocks = -(-rows_per // R)
+    off_ia, off_ir = rows_per, rows_per + D * H1
+    classes = {"in": (0, rows_per), "ia": (off_ia, D * H1),
+               "ir": (off_ir, D * S * H2)}
+    plans = {k: [] for k in classes}
+    ws = {k: [] for k in classes}
+    for s in range(S):
+        for d in range(D):
+            src = base.edge_index[s, d, 0].astype(np.int64)
+            dst = base.edge_index[s, d, 1].astype(np.int64)
+            w = base.edge_weight[s, d]
+            valid = dst < rows_per  # pads carry dst = rows_per
+            src, dst, w = src[valid], dst[valid], w[valid]
+            for k, (lo, nsrc) in classes.items():
+                m = (src >= lo) & (src < lo + nsrc)
+                plan = build_csr_plan(src[m] - lo, dst[m], rows_per,
+                                      num_src=nsrc, R=R, ET=ET)
+                plans[k].append(plan)
+                ws[k].append(_permute_w(w[m], plan))
+
+    stacked = {}
+    for k in classes:
+        arrs = _pad_plans(plans[k], ws[k], R, ET, nblocks)
+        stacked[k] = tuple(a.reshape((S, D) + a.shape[1:]) for a in arrs)
+    (in_src, in_w, in_lr, in_tb, in_tf) = stacked["in"]
+    (ia_src, ia_w, ia_lr, ia_tb, ia_tf) = stacked["ia"]
+    (ir_src, ir_w, ir_lr, ir_tb, ir_tf) = stacked["ir"]
+    return PlannedHierHaloPartition(
+        base=base, in_src=in_src, in_w=in_w, in_lr=in_lr, in_tb=in_tb,
+        in_tf=in_tf, ia_src=ia_src, ia_w=ia_w, ia_lr=ia_lr, ia_tb=ia_tb,
+        ia_tf=ia_tf, ir_src=ir_src, ir_w=ir_w, ir_lr=ir_lr, ir_tb=ir_tb,
+        ir_tf=ir_tf, R=R, ET=ET)
+
+
+def make_hier_halo_spmm_planned(mesh: Mesh, part: PlannedHierHaloPartition,
+                                axes=("slice", "dp"), kernel: bool = True,
+                                interpret: bool = False):
+    """Overlapped two-level halo SpMM with Pallas local aggregation.
+
+    Collective/compute schedule per device: launch the ICI and DCN
+    all_to_alls, aggregate interior edges (depends on neither), add the
+    intra-slice contribution (hides the DCN leg + the redistribute
+    all_gather), then the inter-slice contribution.
+    """
+    slice_ax, dp_ax = axes
+    S, D = part.num_slices, part.dp_per_slice
+    rows_per, H1, H2 = part.rows_per, part.base.h_intra, part.base.h_inter
+    R, ET, nblocks = part.R, part.ET, part.nblocks
+
+    def _agg(msg, w, lr, tb, tf):
+        if kernel:
+            return segment_matmul_dyn_vjp(
+                msg, w.astype(msg.dtype), lr, tb, tf,
+                R=R, ET=ET, nblocks=nblocks, interpret=interpret)[:rows_per]
+        rows = jnp.minimum(tb[:, None, None] * R + lr,
+                           nblocks * R).reshape(-1)
+        return segment_sum(msg * w.reshape(-1, 1).astype(msg.dtype),
+                           rows, nblocks * R + 1)[:rows_per]
+
+    spec = (P((slice_ax, dp_ax)),) + (P(slice_ax, dp_ax),) * 17
+
+    @partial(shard_map, mesh=mesh, in_specs=spec,
+             out_specs=P((slice_ax, dp_ax)), check_vma=False)
+    def _spmm(x_blk, s_intra, s_inter, in_src, in_w, in_lr, in_tb, in_tf,
+              ia_src, ia_w, ia_lr, ia_tb, ia_tf,
+              ir_src, ir_w, ir_lr, ir_tb, ir_tf):
+        send1 = jnp.take(x_blk, s_intra.reshape(-1), axis=0, mode="clip")
+        recv1 = jax.lax.all_to_all(send1.reshape(D, H1, -1), dp_ax,
+                                   split_axis=0, concat_axis=0, tiled=False)
+        send2 = jnp.take(x_blk, s_inter.reshape(-1), axis=0, mode="clip")
+        recv2 = jax.lax.all_to_all(send2.reshape(S, H2, -1), slice_ax,
+                                   split_axis=0, concat_axis=0, tiled=False)
+        # interior: depends on neither collective
+        msg = jnp.take(x_blk, in_src[0, 0], axis=0, mode="clip")
+        out = _agg(msg, in_w[0, 0], in_lr[0, 0], in_tb[0, 0], in_tf[0, 0])
+        # intra: hides the DCN all_to_all and the redistribute all_gather
+        msg = jnp.take(recv1.reshape(D * H1, -1), ia_src[0, 0], axis=0,
+                       mode="clip")
+        out = out + _agg(msg, ia_w[0, 0], ia_lr[0, 0], ia_tb[0, 0],
+                         ia_tf[0, 0])
+        table2 = jax.lax.all_gather(recv2, dp_ax, axis=0, tiled=False)
+        msg = jnp.take(table2.reshape(D * S * H2, -1), ir_src[0, 0],
+                       axis=0, mode="clip")
+        return out + _agg(msg, ir_w[0, 0], ir_lr[0, 0], ir_tb[0, 0],
+                          ir_tf[0, 0])
+
+    # numpy closures: device-array constants are fetched back through the
+    # remote tunnel at lowering time (see make_halo_spmm_planned)
+    consts = [np.asarray(a) for a in
+              (part.base.send_intra, part.base.send_inter,
+               part.in_src, part.in_w, part.in_lr, part.in_tb, part.in_tf,
+               part.ia_src, part.ia_w, part.ia_lr, part.ia_tb, part.ia_tf,
+               part.ir_src, part.ir_w, part.ir_lr, part.ir_tb, part.ir_tf)]
+
+    def run(x_sharded):
+        return _spmm(x_sharded, *consts)
+
+    if part.transpose is None:
+        return run
+
+    run_t = make_hier_halo_spmm_planned(
+        mesh, part.transpose._replace(transpose=None), axes=axes,
         kernel=kernel, interpret=interpret)
 
     @jax.custom_vjp

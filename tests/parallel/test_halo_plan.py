@@ -109,3 +109,66 @@ def test_empty_boundary_class():
     ref = _dense_ref(ei, w, x, n)
     np.testing.assert_allclose(
         np.asarray(out).reshape(total, -1)[:n], ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("kernel", [False, True])
+def test_hier_planned_matches_dense(kernel):
+    from gammagl_tpu.parallel import (build_hier_halo_partition_planned,
+                                      make_hier_halo_spmm_planned)
+    n, S, D = 180, 2, 4
+    ei, w, x = _graph(n, e=1400, seed=5)
+    mesh = Mesh(np.asarray(jax.devices()[:S * D]).reshape(S, D),
+                ("slice", "dp"))
+    part = build_hier_halo_partition_planned(ei, n, S, D, w, R=8, ET=128)
+    total = part.num_parts * part.rows_per
+    xs = jax.device_put(jnp.asarray(np.pad(x, ((0, total - n), (0, 0)))),
+                        NamedSharding(mesh, P(("slice", "dp"))))
+    out = jax.jit(make_hier_halo_spmm_planned(mesh, part, kernel=kernel))(xs)
+    ref = _dense_ref(ei, w, x, n)
+    np.testing.assert_allclose(np.asarray(out).reshape(total, -1)[:n], ref,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_hier_planned_grad_flows():
+    from gammagl_tpu.parallel import (build_hier_halo_partition_planned,
+                                      make_hier_halo_spmm_planned)
+    n, S, D = 100, 2, 2
+    ei, w, x = _graph(n, e=800, seed=9)
+    mesh = Mesh(np.asarray(jax.devices()[:S * D]).reshape(S, D),
+                ("slice", "dp"))
+    part = build_hier_halo_partition_planned(ei, n, S, D, w, R=8, ET=128)
+    total = part.num_parts * part.rows_per
+    spmm = make_hier_halo_spmm_planned(mesh, part)
+    xs = jax.device_put(jnp.asarray(np.pad(x, ((0, total - n), (0, 0)))),
+                        NamedSharding(mesh, P(("slice", "dp"))))
+    g = jax.jit(jax.grad(lambda v: jnp.sum(spmm(v) ** 2)))(xs)
+    a = np.zeros((n, n), np.float64)
+    np.add.at(a, (ei[1], ei[0]), w)
+    ref = 2 * a.T @ (a @ x.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(g).reshape(total, -1)[:n], ref,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_hier_planned_full_graph_recipe():
+    from gammagl_tpu.parallel import (build_hier_halo_partition_planned,
+                                      make_mesh, make_partitioned_gcn_train,
+                                      shard_nodes)
+    from gammagl_tpu.utils import calc_gcn_norm
+    from tests.parallel.test_full_graph import _sbm
+    ei, x, y = _sbm(seed=11)
+    n, f = x.shape
+    w = np.asarray(calc_gcn_norm(jnp.asarray(ei), n))
+    mesh = make_mesh(shape=(2, 4), axis_names=("slice", "dp"))
+    part = build_hier_halo_partition_planned(ei, n, 2, 4, w, R=8, ET=128)
+    params, opt_state, step, eval_logits = make_partitioned_gcn_train(
+        mesh, part, feat_dim=f, hidden_dim=16, num_classes=2,
+        num_layers=2, compute_dtype=jnp.float32, learning_rate=5e-2)
+    mask = np.ones(n, np.float32)
+    xs = shard_nodes(x, mesh, part)
+    ys = shard_nodes(y, mesh, part)
+    ms = shard_nodes(mask, mesh, part)
+    losses = []
+    for _ in range(40):
+        params, opt_state, loss = step(params, opt_state, xs, ys, ms)
+        losses.append(float(loss))
+    assert losses[-1] < 0.4 * losses[0], losses[::10]
