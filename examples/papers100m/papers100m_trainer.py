@@ -181,11 +181,15 @@ def main():
               f"({time.perf_counter() - t0:.1f}s)")
     elif planned:
         from gammagl_tpu.parallel import build_halo_partition_planned
+        from gammagl_tpu.parallel.halo_plan import auto_src_blocks
         mesh = make_mesh(axis_names=("dp",))
-        part = build_halo_partition_planned(np.asarray(ei), n, ndev, w)
+        nsb = auto_src_blocks(-(-n // ndev), max(f, args.hidden), cdtype)
+        part = build_halo_partition_planned(np.asarray(ei), n, ndev, w,
+                                            num_src_blocks=nsb)
         print(f"partition (planned/overlap): rows/chip {part.rows_per:,}, "
               f"halo/peer {part.halo_per_peer:,}, interior+boundary "
-              f"tiles/chip {part.in_tb.shape[1]}+{part.bd_tb.shape[1]} "
+              f"tiles/chip {part.in_tb.shape[1]}+{part.bd_tb.shape[1]}, "
+              f"src blocks {nsb} "
               f"({time.perf_counter() - t0:.1f}s)")
     else:
         mesh = make_mesh(axis_names=("dp",))

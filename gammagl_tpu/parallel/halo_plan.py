@@ -41,7 +41,8 @@ from gammagl_tpu.parallel.hier_halo import (HierHaloPartition,
                                             build_hier_halo_partition)
 
 __all__ = ["PlannedHaloPartition", "build_halo_partition_planned",
-           "make_halo_spmm_planned", "PlannedHierHaloPartition",
+           "make_halo_spmm_planned", "auto_src_blocks",
+           "PlannedHierHaloPartition",
            "build_hier_halo_partition_planned",
            "make_hier_halo_spmm_planned"]
 
@@ -71,6 +72,13 @@ class PlannedHaloPartition(NamedTuple):
     num_nodes: int
     R: int
     ET: int
+    # Extra interior source blocks ((src, w, lr, tb, tf) each), present
+    # when `num_src_blocks > 1`: the gather engine's throughput collapses
+    # ~4x once one gather's touched footprint passes ~100 MB (see
+    # BlockedCSRPlan), so at papers100M scale the interior edges are
+    # partitioned by source row block and their partial sums chained —
+    # the data dependency also stops XLA from interleaving the gathers.
+    in_extra: tuple = ()
     # PlannedHaloPartition of the REVERSED graph (same weights): dx = A^T g
     # runs as one more planned halo SpMM instead of an XLA scatter-add
     # (the distributed analog of spmm_csr's _swap_plan backward).
@@ -109,9 +117,17 @@ def _pad_plans(plans, weights, R, ET, nblocks):
             np.stack(tf).astype(np.int32))
 
 
+def auto_src_blocks(rows_per, feat_dim, dtype=np.float32,
+                    budget_bytes=90 * 2**20):
+    """Source blocks needed to keep one interior gather's touched
+    footprint under the measured ~100 MB gather-wall boundary."""
+    return max(1, -(-rows_per * feat_dim * np.dtype(dtype).itemsize
+                    // budget_bytes))
+
+
 def build_halo_partition_planned(edge_index, num_nodes, num_parts,
                                  edge_weight=None, R=256, ET=512,
-                                 with_transpose=True):
+                                 num_src_blocks=1, with_transpose=True):
     """Contiguous node blocks + per-device interior/boundary kernel plans.
 
     Same partition/halo analysis as `build_halo_partition` (`_halo_sets`),
@@ -119,31 +135,47 @@ def build_halo_partition_planned(edge_index, num_nodes, num_parts,
     for the segment-matmul kernel. R is clipped so tiny partitions keep at
     least one full row block. With `with_transpose` (default) the reversed
     graph's partition is attached so `make_halo_spmm_planned` can run the
-    backward pass through the kernel too.
+    backward pass through the kernel too. Set `num_src_blocks` (helper:
+    `auto_src_blocks`) when a device's feature block exceeds ~100 MB so
+    each interior gather stays inside the fast-gather regime.
     """
     if with_transpose:
         ei = np.asarray(edge_index)
         part_t = build_halo_partition_planned(
             ei[[1, 0]], num_nodes, num_parts, edge_weight, R=R, ET=ET,
-            with_transpose=False)
+            num_src_blocks=num_src_blocks, with_transpose=False)
         return build_halo_partition_planned(
             ei, num_nodes, num_parts, edge_weight, R=R, ET=ET,
+            num_src_blocks=num_src_blocks,
             with_transpose=False)._replace(transpose=part_t)
     rows_per, H, part_edges, halo, send_idx = _halo_sets(
         edge_index, num_nodes, num_parts, edge_weight)
     R = min(R, _round8(rows_per))
     nblocks = -(-rows_per // R)
+    B = max(1, int(num_src_blocks))
+    rows_blk = -(-rows_per // B)
 
-    in_plans, in_w, bd_plans, bd_w = [], [], [], []
+    in_plans, in_w, bd_plans, bd_w = [[] for _ in range(B)], \
+        [[] for _ in range(B)], [], []
     for p in range(num_parts):
         sub, sub_w, src_owner = part_edges[p]
         own = src_owner == p
         dst_local = sub[1] - p * rows_per
 
-        plan_i = build_csr_plan(sub[0][own] - p * rows_per, dst_local[own],
-                                rows_per, num_src=rows_per, R=R, ET=ET)
-        in_plans.append(plan_i)
-        in_w.append(_permute_w(sub_w[own], plan_i))
+        src_own = sub[0][own] - p * rows_per
+        dst_own = dst_local[own]
+        w_own = sub_w[own]
+        blk = np.minimum(src_own // rows_blk, B - 1)
+        for b in range(B):
+            m = blk == b
+            # block-LOCAL src ids: the kernel gathers from a sliced
+            # source (the gather engine's rate is set by the source
+            # ARRAY size, not the touched span — measured 600k-row
+            # source: 122 Mrows/s vs 214 for a 150k-row slice)
+            plan_i = build_csr_plan(src_own[m] - b * rows_blk, dst_own[m],
+                                    rows_per, num_src=rows_blk, R=R, ET=ET)
+            in_plans[b].append(plan_i)
+            in_w[b].append(_permute_w(w_own[m], plan_i))
 
         # boundary: src indexes the received halo table [q*H + pos]
         bsel = ~own
@@ -161,15 +193,17 @@ def build_halo_partition_planned(edge_index, num_nodes, num_parts,
         bd_plans.append(plan_b)
         bd_w.append(_permute_w(sub_w[bsel], plan_b))
 
-    in_src, in_ws, in_lr, in_tb, in_tf = _pad_plans(in_plans, in_w, R, ET,
-                                                    nblocks)
+    in_stacks = [_pad_plans(in_plans[b], in_w[b], R, ET, nblocks)
+                 for b in range(B)]
+    in_src, in_ws, in_lr, in_tb, in_tf = in_stacks[0]
     bd_src, bd_ws, bd_lr, bd_tb, bd_tf = _pad_plans(bd_plans, bd_w, R, ET,
                                                     nblocks)
     return PlannedHaloPartition(
         send_idx=send_idx, in_src=in_src, in_w=in_ws, in_lr=in_lr,
         in_tb=in_tb, in_tf=in_tf, bd_src=bd_src, bd_w=bd_ws, bd_lr=bd_lr,
         bd_tb=bd_tb, bd_tf=bd_tf, num_parts=num_parts, rows_per=rows_per,
-        halo_per_peer=H, num_nodes=num_nodes, R=R, ET=ET)
+        halo_per_peer=H, num_nodes=num_nodes, R=R, ET=ET,
+        in_extra=tuple(in_stacks[1:]))
 
 
 def _round8(x):
@@ -210,21 +244,41 @@ def make_halo_spmm_planned(mesh: Mesh, part: PlannedHaloPartition,
         return segment_sum(msg * w.reshape(-1, 1).astype(msg.dtype),
                            rows, nblocks * R + 1)[:rows_per]
 
-    spec = (P(axis),) * 12
+    in_blocks = [(part.in_src, part.in_w, part.in_lr, part.in_tb,
+                  part.in_tf)] + list(part.in_extra)
+    nb = len(in_blocks)
+    spec = (P(axis),) * (7 + 5 * nb)
 
     # check_vma=False: pallas_call does not declare varying-mesh-axes on
     # its out_shape, which the default shard_map validation rejects
     @partial(shard_map, mesh=mesh, in_specs=spec, out_specs=P(axis),
              check_vma=False)
-    def _spmm(x_blk, send_idx, in_src, in_w, in_lr, in_tb, in_tf,
-              bd_src, bd_w, bd_lr, bd_tb, bd_tf):
+    def _spmm(x_blk, send_idx, *rest):
         send = jnp.take(x_blk, send_idx[0].reshape(-1), axis=0,
                         mode="clip").reshape(nparts, H, -1)
         recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
                                   tiled=False)
-        # interior: no dependency on recv -> overlaps the collective
-        msg_in = jnp.take(x_blk, in_src[0], axis=0, mode="clip")
-        out = _agg(msg_in, in_w[0], in_lr[0], in_tb[0], in_tf[0])
+        # interior: no dependency on recv -> overlaps the collective.
+        # Per src block the gather reads a SLICED source (block-local ids;
+        # the gather engine's rate follows the source array size), and the
+        # optimization_barrier serializes the blocks' gathers: chaining
+        # the partial sums alone does not order the gathers themselves,
+        # and two concurrent gathers run at < half the speed of one.
+        rows_blk = -(-rows_per // nb)
+        out = None
+        x_dep = x_blk
+        for b in range(nb):
+            src, w, lr, tb, tf = rest[5 * b:5 * b + 5]
+            lo = b * rows_blk
+            x_b = jax.lax.slice_in_dim(x_dep, lo,
+                                       min(lo + rows_blk, rows_per)) \
+                if nb > 1 else x_dep
+            msg = jnp.take(x_b, src[0], axis=0, mode="clip")
+            part_sum = _agg(msg, w[0], lr[0], tb[0], tf[0])
+            out = part_sum if out is None else out + part_sum
+            if nb > 1 and b < nb - 1:
+                out, x_dep = jax.lax.optimization_barrier((out, x_blk))
+        bd_src, bd_w, bd_lr, bd_tb, bd_tf = rest[5 * nb:]
         table = recv.reshape(nparts * H, -1)
         msg_bd = jnp.take(table, bd_src[0], axis=0, mode="clip")
         return out + _agg(msg_bd, bd_w[0], bd_lr[0], bd_tb[0], bd_tf[0])
@@ -233,10 +287,12 @@ def make_halo_spmm_planned(mesh: Mesh, part: PlannedHaloPartition,
     # fetched back host-side at lowering time to embed as MLIR constants —
     # through the remote-TPU tunnel that round trip is pathologically slow
     # (observed 40+s for ~1 MB). Numpy closures embed directly.
-    consts = [np.asarray(a) for a in
-              (part.send_idx, part.in_src, part.in_w, part.in_lr,
-               part.in_tb, part.in_tf, part.bd_src, part.bd_w, part.bd_lr,
-               part.bd_tb, part.bd_tf)]
+    consts = [np.asarray(part.send_idx)]
+    for blk in in_blocks:
+        consts.extend(np.asarray(a) for a in blk)
+    consts.extend(np.asarray(a) for a in
+                  (part.bd_src, part.bd_w, part.bd_lr, part.bd_tb,
+                   part.bd_tf))
 
     def run(x_sharded):
         return _spmm(x_sharded, *consts)

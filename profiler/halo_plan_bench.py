@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--check", action="store_true",
                     help="small-size correctness check vs dense")
+    ap.add_argument("--src-blocks", type=int, default=0,
+                    help=">1: also run the src-blocked interior variant "
+                         "(gather-wall mitigation; see auto_src_blocks)")
+    ap.add_argument("--only-blocked", action="store_true",
+                    help="skip the unblocked variants")
     args = ap.parse_args()
 
     import jax
@@ -95,12 +100,19 @@ def main():
         assert err < 5e-3, err
         return
 
-    t_flat = timed("flat halo (XLA scatter)", make_halo_spmm(mesh, flat))
-    t_plan = timed("planned halo (kernel)",
-                   make_halo_spmm_planned(mesh, plan, kernel=True))
-    timed("planned halo (XLA, overlap)",
-          make_halo_spmm_planned(mesh, plan, kernel=False))
-    print(f"kernel speedup vs flat: {t_flat / t_plan:.2f}x")
+    if args.src_blocks <= 1 or not args.only_blocked:
+        t_flat = timed("flat halo (XLA scatter)",
+                       make_halo_spmm(mesh, flat))
+        t_plan = timed("planned halo (kernel)",
+                       make_halo_spmm_planned(mesh, plan, kernel=True))
+        timed("planned halo (XLA, overlap)",
+              make_halo_spmm_planned(mesh, plan, kernel=False))
+        print(f"kernel speedup vs flat: {t_flat / t_plan:.2f}x")
+    if args.src_blocks > 1:
+        blocked = build_halo_partition_planned(
+            ei, args.nodes, ndev, w, num_src_blocks=args.src_blocks)
+        timed(f"planned kernel, {args.src_blocks} src blocks",
+              make_halo_spmm_planned(mesh, blocked, kernel=True))
 
 
 if __name__ == "__main__":
