@@ -21,11 +21,15 @@ from gammagl_tpu.parallel.halo_plan import (
     PlannedHaloPartition, build_halo_partition_planned,
     make_halo_spmm_planned, PlannedHierHaloPartition,
     build_hier_halo_partition_planned, make_hier_halo_spmm_planned)
+from gammagl_tpu.parallel.halo_attention import (
+    AttnHaloPartition, build_halo_partition_attn,
+    make_partitioned_gat_layer)
 
 from gammagl_tpu.parallel.strategies import (pipeline_apply, make_feature_sharded_spmm, relation_expert_spmm)
 from gammagl_tpu.parallel.full_graph import (pad_nodes, shard_nodes,
                                              sign_precompute,
                                              make_partitioned_gcn_train,
+                                             make_partitioned_gat_train,
                                              estimate_hbm_gb)
 
 __all__ = [
@@ -53,6 +57,9 @@ __all__ = [
     "PlannedHierHaloPartition",
     "build_hier_halo_partition_planned",
     "make_hier_halo_spmm_planned",
+    "AttnHaloPartition",
+    "build_halo_partition_attn",
+    "make_partitioned_gat_layer",
     "pipeline_apply",
     "make_feature_sharded_spmm",
     "relation_expert_spmm",
@@ -60,5 +67,6 @@ __all__ = [
     "shard_nodes",
     "sign_precompute",
     "make_partitioned_gcn_train",
+    "make_partitioned_gat_train",
     "estimate_hbm_gb",
 ]

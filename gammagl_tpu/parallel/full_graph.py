@@ -48,7 +48,8 @@ from gammagl_tpu.parallel.hier_halo import (HierHaloPartition,
                                             make_hier_halo_spmm)
 
 __all__ = ["pad_nodes", "shard_nodes", "sign_precompute",
-           "make_partitioned_gcn_train", "estimate_hbm_gb"]
+           "make_partitioned_gcn_train", "make_partitioned_gat_train",
+           "estimate_hbm_gb"]
 
 
 def _make_spmm(mesh, part, axis):
@@ -158,6 +159,77 @@ def make_partitioned_gcn_train(mesh, part, feat_dim,
             if i < num_layers - 1:
                 h = jax.nn.relu(h)
         return h.astype(jnp.float32)  # logits f32 for the loss
+
+    def loss_fn(p, x, y, mask):
+        logits = forward(p, x)
+        ls = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+        m = mask.astype(jnp.float32)
+        return (ls * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+    @jax.jit
+    def train_step(p, opt_state, x, y, mask):
+        loss, grads = jax.value_and_grad(loss_fn)(p, x, y, mask)
+        updates, opt_state = opt.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, loss
+
+    eval_logits = jax.jit(forward)
+    return params, opt_state, train_step, eval_logits
+
+
+def make_partitioned_gat_train(mesh, part, feat_dim, hidden_dim,
+                               num_classes, heads=4, num_layers=2,
+                               compute_dtype=jnp.bfloat16, remat=True,
+                               learning_rate=1e-2, weight_decay=0.0,
+                               negative_slope=0.2, seed=0, axis="dp"):
+    """Build (params, opt_state, train_step, eval_logits) for an L-layer
+    GAT over an `AttnHaloPartition` (reference GATModel:
+    gammagl/models/gat.py:10 — concat heads on hidden layers, average on
+    the output layer; the reference trains it single-device only).
+
+    `hidden_dim` is PER HEAD; hidden activations are (rows,
+    heads*hidden_dim). Same step signature as the GCN recipe. Each layer
+    does one projection matmul (local under GSPMD), one halo all_to_all,
+    a local masked edge softmax, and the Pallas per-head aggregation —
+    gradients flow through all of it (alpha is a traced kernel operand).
+    """
+    from gammagl_tpu.parallel.halo_attention import (
+        AttnHaloPartition, make_partitioned_gat_layer)
+    assert isinstance(part, AttnHaloPartition), type(part)
+    attn = make_partitioned_gat_layer(mesh, part, heads, axis=axis,
+                                      negative_slope=negative_slope)
+    rng = np.random.default_rng(seed)
+    dims_in = [feat_dim] + [heads * hidden_dim] * (num_layers - 1)
+    dims_out = [hidden_dim] * (num_layers - 1) + [num_classes]
+    params = {}
+    for i in range(num_layers):
+        params[f"w{i}"] = _glorot(rng, dims_in[i], heads * dims_out[i])
+        params[f"as{i}"] = _glorot(rng, heads, dims_out[i])
+        params[f"ad{i}"] = _glorot(rng, heads, dims_out[i])
+        params[f"b{i}"] = jnp.zeros(
+            dims_out[i] * (heads if i < num_layers - 1 else 1), jnp.float32)
+    params = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P())), params)
+
+    opt = optax.adamw(learning_rate, weight_decay=weight_decay)
+    opt_state = jax.device_put(opt.init(params), NamedSharding(mesh, P()))
+
+    def layer(p, i, h):
+        w = p[f"w{i}"].astype(compute_dtype)
+        h = attn(h @ w, p[f"as{i}"], p[f"ad{i}"]).astype(compute_dtype)
+        if i < num_layers - 1:
+            return jax.nn.elu(h + p[f"b{i}"].astype(compute_dtype))
+        # output layer: average the heads (reference concat=False tail)
+        h = h.reshape(h.shape[0], heads, -1).mean(axis=1)
+        return h + p[f"b{i}"].astype(compute_dtype)
+
+    if remat:
+        layer = jax.checkpoint(layer, static_argnums=(1,))
+
+    def forward(p, x):
+        h = x.astype(compute_dtype)
+        for i in range(num_layers):
+            h = layer(p, i, h)
+        return h.astype(jnp.float32)
 
     def loss_fn(p, x, y, mask):
         logits = forward(p, x)
