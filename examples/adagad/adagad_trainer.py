@@ -36,14 +36,15 @@ def main(args):
     params = model.init(key, x, ei, neg)
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
+    # device data threaded as jit args (never close over device arrays)
     @jax.jit
-    def step(state):
+    def step(state, x, ei, neg):
         loss, grads = jax.value_and_grad(
             lambda p: model.apply(p, x, ei, neg))(state.params)
         return state.apply_gradients(grads), loss
 
     for epoch in range(args.n_epoch):
-        state, loss = step(state)
+        state, loss = step(state, x, ei, neg)
         if epoch % 10 == 0:
             print(f"epoch {epoch:3d} recon loss {float(loss):.4f}")
     scores = model.apply(state.params, x, ei)

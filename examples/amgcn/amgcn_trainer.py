@@ -39,23 +39,28 @@ def main(args):
     params = model.init(key, x, ei, fei)
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
+    # device data threaded as jit args (never close over device arrays)
     @jax.jit
-    def step(state):
+    def step(state, x, ei, fei, y, train_mask):
         def loss_fn(p):
             logits, consistency = model.apply(p, x, ei, fei)
-            return (semi_supervised_loss(logits, d["y"], d["train_mask"])
+            return (semi_supervised_loss(logits, y, train_mask)
                     + 0.01 * consistency)
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
 
+    @jax.jit
+    def infer(state, x, ei, fei):
+        return model.apply(state.params, x, ei, fei)
+
     for epoch in range(args.n_epoch):
-        state, loss = step(state)
+        state, loss = step(state, x, ei, fei, d["y"], d["train_mask"])
         if epoch % 10 == 0:
-            logits, _ = model.apply(state.params, x, ei, fei)
+            logits, _ = infer(state, x, ei, fei)
             acc = accuracy(logits, d["y"], d["test_mask"])
             print(f"epoch {epoch:3d} loss {float(loss):.4f} "
                   f"test {float(acc):.4f}")
-    logits, _ = model.apply(state.params, x, ei, fei)
+    logits, _ = infer(state, x, ei, fei)
     acc = float(accuracy(logits, d["y"], d["test_mask"]))
     print(f"final test acc {acc:.4f}")
     return acc

@@ -32,22 +32,27 @@ def main(args):
     params = model.init(key, x, ei)
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
+    # device data threaded as jit args (never close over device arrays)
     @jax.jit
-    def step(state):
+    def step(state, x, ei, y, train_mask):
         def loss_fn(p):
             logits, depth = model.apply(p, x, ei)
-            return semi_supervised_loss(logits, d["y"], d["train_mask"])
+            return semi_supervised_loss(logits, y, train_mask)
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
 
+    @jax.jit
+    def infer(state, x, ei):
+        return model.apply(state.params, x, ei)
+
     for epoch in range(args.n_epoch):
-        state, loss = step(state)
+        state, loss = step(state, x, ei, d["y"], d["train_mask"])
         if epoch % 10 == 0:
-            logits, depth = model.apply(state.params, x, ei)
+            logits, depth = infer(state, x, ei)
             acc = accuracy(logits, d["y"], d["test_mask"])
             print(f"epoch {epoch:3d} loss {float(loss):.4f} "
                   f"test {float(acc):.4f} depth {float(depth):.2f}")
-    logits, depth = model.apply(state.params, x, ei)
+    logits, depth = infer(state, x, ei)
     acc = float(accuracy(logits, d["y"], d["test_mask"]))
     print(f"final test acc {acc:.4f} (mean depth {float(depth):.2f})")
     return acc

@@ -35,27 +35,30 @@ def main(args):
     params = model.init(key, x, ei, e2)
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
+    # device data threaded as jit args (never close over device arrays)
     @jax.jit
-    def step(state):
+    def step(state, x, ei, e2, y, train_mask):
         def loss_fn(p):
             (l1, l2, lf), mi = model.apply(p, x, ei, e2)
-            return (semi_supervised_loss(lf, d["y"], d["train_mask"])
-                    + 0.5 * semi_supervised_loss(l1, d["y"],
-                                                 d["train_mask"])
-                    + 0.5 * semi_supervised_loss(l2, d["y"],
-                                                 d["train_mask"])
+            return (semi_supervised_loss(lf, y, train_mask)
+                    + 0.5 * semi_supervised_loss(l1, y, train_mask)
+                    + 0.5 * semi_supervised_loss(l2, y, train_mask)
                     - 0.1 * mi)
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
 
+    @jax.jit
+    def infer(state, x, ei, e2):
+        return model.apply(state.params, x, ei, e2)
+
     for epoch in range(args.n_epoch):
-        state, loss = step(state)
+        state, loss = step(state, x, ei, e2, d["y"], d["train_mask"])
         if epoch % 10 == 0:
-            (l1, l2, lf), _ = model.apply(state.params, x, ei, e2)
+            (l1, l2, lf), _ = infer(state, x, ei, e2)
             acc = accuracy(lf, d["y"], d["test_mask"])
             print(f"epoch {epoch:3d} loss {float(loss):.4f} "
                   f"test {float(acc):.4f}")
-    (l1, l2, lf), _ = model.apply(state.params, x, ei, e2)
+    (l1, l2, lf), _ = infer(state, x, ei, e2)
     acc = float(accuracy(lf, d["y"], d["test_mask"]))
     print(f"final test acc {acc:.4f}")
     return acc

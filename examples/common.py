@@ -17,7 +17,12 @@ def load_node_dataset(name, path="data"):
     when downloads are unavailable."""
     if name in ("cora", "citeseer", "pubmed"):
         try:
+            from gammagl_tpu.data.download import network_available
             from gammagl_tpu.datasets import Planetoid
+            import os
+            have_raw = osp.exists(osp.join(path, name, "raw"))
+            if not (have_raw or network_available()):
+                raise OSError("no network (fast probe) and no raw files")
             ds = Planetoid(root=path, name=name)
             return ds[0], ds.num_classes
         except Exception as e:
@@ -56,6 +61,67 @@ def device_graph(g):
     }
 
 
+def run_epoch_loop(state, rng, d, step_fn, eval_fn, n_epoch,
+                   log_every=20, chunk=25, track_best_params=False):
+    """Chunked training loop: `chunk` epochs run inside ONE jitted
+    `lax.scan` (train step + eval per epoch), fetching the metric arrays
+    once per chunk. This amortizes the per-call RPC floor of the device
+    tunnel (PERF_NOTES.md item 4) instead of paying ~5 round-trips per
+    epoch. Semantics match the eager loop exactly: best-val/test tracked
+    per epoch on host from the fetched arrays.
+
+    step_fn(state, rng, d) -> (state, loss); eval_fn(state, d) ->
+    (val_acc, test_acc).
+
+    With ``track_best_params=True`` the best-val parameter snapshot is
+    kept ON DEVICE in the scan carry (tree-select per epoch), replacing
+    the reference's save-weights-on-best without a host sync; the
+    snapshot is returned as a 4th value.
+    """
+    @jax.jit
+    def run_chunk(state, rng, best_val_dev, best_params, d):
+        def body(carry, _):
+            state, rng, bv, bp = carry
+            rng, sk = jax.random.split(rng)
+            state, loss = step_fn(state, sk, d)
+            val, test = eval_fn(state, d)
+            if track_best_params:
+                better = val > bv
+                bp = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(better, new, old),
+                    state.params, bp)
+                bv = jnp.maximum(val, bv)
+            return (state, rng, bv, bp), (loss, val, test)
+        (state, rng, bv, bp), out = jax.lax.scan(
+            body, (state, rng, best_val_dev, best_params), None,
+            length=chunk)
+        return state, rng, bv, bp, out
+
+    # one static chunk size = one compile; a trailing partial chunk runs
+    # the full length (reported metrics stop at n_epoch)
+    chunk = min(chunk, n_epoch)
+    best_val, best_test = 0.0, 0.0
+    bv_dev = jnp.float32(-jnp.inf)
+    bp = state.params if track_best_params else 0
+    epoch = 0
+    while epoch < n_epoch:
+        state, rng, bv_dev, bp, (losses, vals, tests) = run_chunk(
+            state, rng, bv_dev, bp, d)
+        losses, vals, tests = (np.asarray(losses), np.asarray(vals),
+                               np.asarray(tests))
+        for i in range(min(chunk, n_epoch - epoch)):
+            if vals[i] > best_val:
+                best_val, best_test = float(vals[i]), float(tests[i])
+            if (epoch + i) % log_every == 0:
+                print(f"epoch {epoch + i:4d} loss {losses[i]:.4f} "
+                      f"val {vals[i]:.4f} test {tests[i]:.4f}")
+        epoch += chunk
+    print(f"best val {best_val:.4f} -> test {best_test:.4f}")
+    if track_best_params:
+        return state, best_val, best_test, bp
+    return state, best_val, best_test
+
+
 def run_simple_node_trainer(model, args, forward_kwargs=None,
                             loss_extra=None):
     """Standard semi-supervised node-classification loop shared by the
@@ -67,7 +133,7 @@ def run_simple_node_trainer(model, args, forward_kwargs=None,
 
     g, num_classes = load_node_dataset(args.dataset, args.dataset_path)
     d = device_graph(g)
-    x, ei, y = d["x"], d["edge_index"], d["y"]
+    x, ei = d["x"], d["edge_index"]
     fkw = dict(forward_kwargs or {})
 
     # fast path: hand the model a Pallas plan when its forward takes one
@@ -87,36 +153,29 @@ def run_simple_node_trainer(model, args, forward_kwargs=None,
                      optax.adam(args.lr))
     state = TrainState.create(params=params, tx=tx)
 
-    @jax.jit
-    def train_step(state, rng):
+    # NOTE: the graph dict `d` is threaded through as a jit ARGUMENT.
+    # Closing over device-resident arrays would embed them as MLIR
+    # constants and fetch each back through the device tunnel at lowering
+    # time (minutes-long stalls; see PERF_NOTES.md "TIMING/TRACING TRAP").
+    def train_step(state, rng, d):
         def loss_fn(p):
-            logits = model.apply(p, x, ei, train=True,
+            logits = model.apply(p, d["x"], d["edge_index"], train=True,
                                  rngs={"dropout": rng}, **fkw)
-            loss = semi_supervised_loss(logits, y, d["train_mask"])
+            loss = semi_supervised_loss(logits, d["y"], d["train_mask"])
             if loss_extra is not None:
                 loss = loss + loss_extra(p)
             return loss
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
 
-    @jax.jit
-    def evaluate(state):
-        logits = model.apply(state.params, x, ei, **fkw)
-        return (accuracy(logits, y, d["val_mask"]),
-                accuracy(logits, y, d["test_mask"]))
+    def evaluate(state, d):
+        logits = model.apply(state.params, d["x"], d["edge_index"], **fkw)
+        return (accuracy(logits, d["y"], d["val_mask"]),
+                accuracy(logits, d["y"], d["test_mask"]))
 
-    best_val, best_test = 0.0, 0.0
     rng = jax.random.PRNGKey(args.seed + 1)
-    for epoch in range(args.n_epoch):
-        rng, sk = jax.random.split(rng)
-        state, loss = train_step(state, sk)
-        val_acc, test_acc = evaluate(state)
-        if float(val_acc) > best_val:
-            best_val, best_test = float(val_acc), float(test_acc)
-        if epoch % 20 == 0 or epoch == args.n_epoch - 1:
-            print(f"epoch {epoch:4d} loss {float(loss):.4f} "
-                  f"val {float(val_acc):.4f} test {float(test_acc):.4f}")
-    print(f"best val {best_val:.4f} -> test {best_test:.4f}")
+    _, _, best_test = run_epoch_loop(state, rng, d, train_step, evaluate,
+                                     args.n_epoch)
     return best_test
 
 
@@ -130,16 +189,16 @@ def linear_probe(emb, d, num_classes, steps=300, lr=1e-2):
     opt = optax.adam(lr)
     opt_state = opt.init(w)
 
+    # emb / labels passed as jit args (never close over device arrays)
     @jax.jit
-    def step(w, opt_state):
+    def step(w, opt_state, emb, y, train_mask):
         loss, grads = jax.value_and_grad(
-            lambda w: semi_supervised_loss(emb @ w, d["y"],
-                                           d["train_mask"]))(w)
+            lambda w: semi_supervised_loss(emb @ w, y, train_mask))(w)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(w, updates), opt_state, loss
 
     for _ in range(steps):
-        w, opt_state, _ = step(w, opt_state)
+        w, opt_state, _ = step(w, opt_state, emb, d["y"], d["train_mask"])
     return float(accuracy(emb @ w, d["y"], d["test_mask"]))
 
 
@@ -162,7 +221,7 @@ def run_two_view_ssl(model, args, embed_fn, num_views_args=6):
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
     @jax.jit
-    def step(state, rng):
+    def step(state, rng, x, ei):
         ka, kb = jax.random.split(rng)
         xa, wa = drop_edge_and_feature(ka, x, ei, 0.2, 0.2)
         xb, wb = drop_edge_and_feature(kb, x, ei, 0.3, 0.3)
@@ -173,7 +232,7 @@ def run_two_view_ssl(model, args, embed_fn, num_views_args=6):
     rng = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(args.n_epoch):
         rng, k = jax.random.split(rng)
-        state, loss = step(state, k)
+        state, loss = step(state, k, x, ei)
         if epoch % 20 == 0 or epoch == args.n_epoch - 1:
             print(f"pretrain {epoch:4d} loss {float(loss):.4f}")
 
@@ -251,7 +310,7 @@ def run_hetero_trainer(make_model, args, dataset_loader=None):
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
     @jax.jit
-    def step(state, rng):
+    def step(state, rng, x_dict, ei_dict, y, train_mask):
         def loss_fn(p):
             logits = model.apply(p, x_dict, ei_dict,
                                  rngs={"dropout": rng}, **tkw, **ekw)
@@ -259,16 +318,19 @@ def run_hetero_trainer(make_model, args, dataset_loader=None):
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
 
+    @jax.jit
+    def eval_acc(state, x_dict, ei_dict, y, test_mask):
+        return accuracy(model.apply(state.params, x_dict, ei_dict, **ekw),
+                        y, test_mask)
+
     rng = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(args.n_epoch):
         rng, k = jax.random.split(rng)
-        state, loss = step(state, k)
+        state, loss = step(state, k, x_dict, ei_dict, y, train_mask)
         if epoch % 10 == 0 or epoch == args.n_epoch - 1:
-            acc = accuracy(model.apply(state.params, x_dict, ei_dict,
-                                       **ekw), y, test_mask)
+            acc = eval_acc(state, x_dict, ei_dict, y, test_mask)
             print(f"epoch {epoch:3d} loss {float(loss):.4f} "
                   f"test {float(acc):.4f}")
-    acc = float(accuracy(model.apply(state.params, x_dict, ei_dict, **ekw),
-                         y, test_mask))
+    acc = float(eval_acc(state, x_dict, ei_dict, y, test_mask))
     print(f"final test acc {acc:.4f}")
     return acc

@@ -50,16 +50,21 @@ def main(args):
     params = model.init(jax.random.PRNGKey(args.seed), x, ei)
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
+    # device data threaded as jit args (never close over device arrays)
     @jax.jit
-    def step(state):
+    def step(state, x, ei, y, train_mask):
         loss, grads = jax.value_and_grad(
             lambda p: semi_supervised_loss(model.apply(p, x, ei), y,
                                            train_mask))(state.params)
         return state.apply_gradients(grads), loss
 
+    @jax.jit
+    def infer(state, x, ei):
+        return model.apply(state.params, x, ei)
+
     for epoch in range(args.n_epoch):
-        state, loss = step(state)
-    acc = float(accuracy(model.apply(state.params, x, ei), y, test_mask))
+        state, loss = step(state, x, ei, y, train_mask)
+    acc = float(accuracy(infer(state, x, ei), y, test_mask))
     print(f"store-roundtrip GCN test acc {acc:.4f}")
     return acc
 

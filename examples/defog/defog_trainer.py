@@ -46,7 +46,7 @@ def main(args):
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
     @jax.jit
-    def step(state, X1, E1, rng, t):
+    def step(state, X1, E1, y, rng, t):
         Xt, Et = flow_interpolate(rng, X1, E1, t)
         def loss_fn(p):
             pX, pE, _ = model.apply(p, Xt, Et, y, t)
@@ -61,7 +61,7 @@ def main(args):
         X1, E1 = sample_graph(epoch)
         rng_j, k = jax.random.split(rng_j)
         t = jax.random.uniform(k)
-        state, loss = step(state, X1, E1, k, t)
+        state, loss = step(state, X1, E1, y, k, t)
         if epoch % 5 == 0:
             print(f"epoch {epoch:3d} flow-matching loss {float(loss):.4f}")
 
@@ -69,11 +69,15 @@ def main(args):
     rng_j, k = jax.random.split(rng_j)
     Xt = jax.nn.one_hot(jax.random.randint(k, (n,), 0, 4), 4)
     Et = jax.nn.one_hot(jax.random.randint(k, (n, n), 0, 3), 3)
+    @jax.jit
+    def sample_step(state, Xt, Et, y, k, t):
+        pX, pE, _ = model.apply(state.params, Xt, Et, y, t)
+        return euler_sample_step(k, Xt, Et, pX, pE, t, 0.1)
+
     t = 0.0
     for i in range(10):
         rng_j, k = jax.random.split(rng_j)
-        pX, pE, _ = model.apply(state.params, Xt, Et, y, jnp.asarray(t))
-        Xt, Et = euler_sample_step(k, Xt, Et, pX, pE, t, 0.1)
+        Xt, Et = sample_step(state, Xt, Et, y, k, jnp.asarray(t))
         t += 0.1
     print("sampled graph: node classes",
           np.asarray(jnp.argmax(Xt, -1)))

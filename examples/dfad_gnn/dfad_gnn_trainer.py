@@ -33,17 +33,16 @@ def main(args):
     tparams = teacher.init(key, x, ei)
     tstate = TrainState.create(params=tparams, tx=optax.adam(args.lr))
 
+    # device data threaded as jit args (never close over device arrays)
     @jax.jit
-    def t_step(state):
+    def t_step(state, x, ei, y, train_mask):
         loss, grads = jax.value_and_grad(
             lambda p: semi_supervised_loss(teacher.apply(p, x, ei),
-                                           d["y"], d["train_mask"]))(
-            state.params)
+                                           y, train_mask))(state.params)
         return state.apply_gradients(grads), loss
 
     for _ in range(args.n_epoch):
-        tstate, _ = t_step(tstate)
-    t_logits = jax.lax.stop_gradient(teacher.apply(tstate.params, x, ei))
+        tstate, _ = t_step(tstate, x, ei, d["y"], d["train_mask"])
 
     # data-free: a generator perturbs features; student matches teacher on
     # generated data, generator maximizes disagreement (reference dfad_gnn)
@@ -56,27 +55,29 @@ def main(args):
     s_opt, g_opt = s_tx.init(sparams), g_tx.init(gparams)
 
     @jax.jit
-    def s_step(sparams, gparams, s_opt):
+    def s_step(sparams, gparams, tparams, s_opt, x, ei):
         xg = gen.apply(gparams, x)
-        tg = jax.lax.stop_gradient(teacher.apply(tstate.params, xg, ei))
+        tg = jax.lax.stop_gradient(teacher.apply(tparams, xg, ei))
         loss, grads = jax.value_and_grad(
             lambda p: dfad_student_loss(student.apply(p, xg), tg))(sparams)
         updates, s_opt = s_tx.update(grads, s_opt)
         return optax.apply_updates(sparams, updates), s_opt, loss
 
     @jax.jit
-    def g_step(sparams, gparams, g_opt):
+    def g_step(sparams, gparams, tparams, g_opt, x, ei):
         def loss_fn(gp):
             xg = gen.apply(gp, x)
-            tg = teacher.apply(tstate.params, xg, ei)
+            tg = teacher.apply(tparams, xg, ei)
             return dfad_generator_loss(student.apply(sparams, xg), tg)
         loss, grads = jax.value_and_grad(loss_fn)(gparams)
         updates, g_opt = g_tx.update(grads, g_opt)
         return optax.apply_updates(gparams, updates), g_opt, loss
 
     for epoch in range(args.n_epoch):
-        sparams, s_opt, s_loss = s_step(sparams, gparams, s_opt)
-        gparams, g_opt, g_loss = g_step(sparams, gparams, g_opt)
+        sparams, s_opt, s_loss = s_step(sparams, gparams, tstate.params,
+                                        s_opt, x, ei)
+        gparams, g_opt, g_loss = g_step(sparams, gparams, tstate.params,
+                                        g_opt, x, ei)
         if epoch % 10 == 0:
             print(f"epoch {epoch:3d} student {float(s_loss):.4f} "
                   f"generator {float(g_loss):.4f}")

@@ -33,29 +33,35 @@ def main(args):
     key = jax.random.PRNGKey(args.seed)
     params = model.init(key, x, ei)
 
+    # device data threaded as jit args (no device-array closures); step
+    # defined once OUTSIDE the stage loop so stages reuse one executable
+    @jax.jit
+    def step(state, x, ei, ym, tm):
+        loss, grads = jax.value_and_grad(
+            lambda p: semi_supervised_loss(model.apply(p, x, ei),
+                                           ym, tm))(state.params)
+        return state.apply_gradients(grads), loss
+
+    @jax.jit
+    def infer(params, x, ei):
+        return model.apply(params, x, ei)
+
     train_mask = np.asarray(d["train_mask"]).copy()
     y = np.asarray(d["y"]).copy()
     for stage in range(args.stages):
         state = TrainState.create(params=params, tx=optax.adam(args.lr))
         ym, tm = jnp.asarray(y), jnp.asarray(train_mask)
 
-        @jax.jit
-        def step(state):
-            loss, grads = jax.value_and_grad(
-                lambda p: semi_supervised_loss(model.apply(p, x, ei),
-                                               ym, tm))(state.params)
-            return state.apply_gradients(grads), loss
-
         for _ in range(args.n_epoch):
-            state, loss = step(state)
+            state, loss = step(state, x, ei, ym, tm)
         params = state.params
-        probs = jax.nn.softmax(model.apply(params, x, ei))
+        probs = jax.nn.softmax(infer(params, x, ei))
         conf = np.asarray(probs.max(axis=1))
         pred = np.asarray(probs.argmax(axis=1))
         new = (conf > args.threshold) & ~train_mask
         y[new] = pred[new]
         train_mask = train_mask | new
-        acc = float(accuracy(model.apply(params, x, ei), d["y"],
+        acc = float(accuracy(infer(params, x, ei), d["y"],
                              d["test_mask"]))
         print(f"stage {stage}: +{int(new.sum())} pseudo-labels, "
               f"test acc {acc:.4f}")

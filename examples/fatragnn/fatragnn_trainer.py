@@ -50,8 +50,9 @@ def main(args):
     # adversarially edited graph (drop cross-sens edges)
     ei2 = jnp.asarray(modify_structure(ei, ei, sens, drop=0.6))
 
+    # device data threaded as jit args (never close over device arrays)
     @jax.jit
-    def step(state):
+    def step(state, xj, eij, ei2, yj, tm):
         def loss_fn(p):
             logits = model.apply(p, xj, eij, 0)[:, 0]
             ce = jnp.where(tm, optax.sigmoid_binary_cross_entropy(
@@ -63,7 +64,7 @@ def main(args):
         return state.apply_gradients(grads), loss
 
     for epoch in range(args.n_epoch):
-        state, loss = step(state)
+        state, loss = step(state, xj, eij, ei2, yj, tm)
         if epoch % 10 == 0:
             print(f"epoch {epoch:3d} loss {float(loss):.4f}")
     pred = np.asarray(model.apply(state.params, xj, eij, 0)[:, 0] > 0)

@@ -51,23 +51,26 @@ def main(args):
     params = model.init(key, x, ei, plan)
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
+    # device data threaded as jit args; the CSRPlan stays a closure
+    # constant by design (numpy-backed, hashable by identity)
     @jax.jit
-    def step(state):
+    def step(state, x, ei, y, train_mask):
         loss, grads = jax.value_and_grad(
             lambda p: semi_supervised_loss(model.apply(p, x, ei, plan),
-                                           d["y"], d["train_mask"]))(
-            state.params)
+                                           y, train_mask))(state.params)
         return state.apply_gradients(grads), loss
 
+    @jax.jit
+    def infer(state, x, ei):
+        return model.apply(state.params, x, ei, plan)
+
     for epoch in range(args.n_epoch):
-        state, loss = step(state)
+        state, loss = step(state, x, ei, d["y"], d["train_mask"])
         if epoch % 20 == 0:
-            acc = accuracy(model.apply(state.params, x, ei, plan),
-                           d["y"], d["test_mask"])
+            acc = accuracy(infer(state, x, ei), d["y"], d["test_mask"])
             print(f"epoch {epoch:3d} loss {float(loss):.4f} "
                   f"test {float(acc):.4f}")
-    acc = float(accuracy(model.apply(state.params, x, ei, plan), d["y"],
-                         d["test_mask"]))
+    acc = float(accuracy(infer(state, x, ei), d["y"], d["test_mask"]))
     print(f"final test acc {acc:.4f} (fused attention path)")
     return acc
 

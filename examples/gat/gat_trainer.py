@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from common import base_parser, device_graph, load_node_dataset
+from common import (base_parser, device_graph, load_node_dataset,
+                    run_epoch_loop)
 from gammagl_tpu.models import GATModel
 from gammagl_tpu.train import (TrainState, accuracy, semi_supervised_loss)
 
@@ -30,8 +31,9 @@ def main(args):
                      optax.adam(args.lr))
     state = TrainState.create(params=params, tx=tx)
 
-    @jax.jit
-    def train_step(state, rng):
+    # graph dict threaded as a jit ARGUMENT (never close over device
+    # arrays); epochs run in chunked lax.scan via run_epoch_loop.
+    def train_step(state, rng, d):
         def loss_fn(p):
             logits = model.apply(p, d["x"], d["edge_index"], train=True,
                                  rngs={"dropout": rng})
@@ -39,24 +41,14 @@ def main(args):
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
 
-    @jax.jit
-    def evaluate(state):
+    def evaluate(state, d):
         logits = model.apply(state.params, d["x"], d["edge_index"])
         return (accuracy(logits, d["y"], d["val_mask"]),
                 accuracy(logits, d["y"], d["test_mask"]))
 
-    best_val, best_test = 0.0, 0.0
     rng = jax.random.PRNGKey(args.seed + 1)
-    for epoch in range(args.n_epoch):
-        rng, step_rng = jax.random.split(rng)
-        state, loss = train_step(state, step_rng)
-        val_acc, test_acc = evaluate(state)
-        if val_acc > best_val:
-            best_val, best_test = float(val_acc), float(test_acc)
-        if epoch % 20 == 0:
-            print(f"epoch {epoch:4d} loss {float(loss):.4f} "
-                  f"val {float(val_acc):.4f}")
-    print(f"best val {best_val:.4f} -> test {best_test:.4f}")
+    _, _, best_test = run_epoch_loop(state, rng, d, train_step, evaluate,
+                                     args.n_epoch)
     return best_test
 
 

@@ -29,17 +29,9 @@ from gammagl_tpu.train import (TrainState, semi_supervised_loss, accuracy,
 
 
 def load_dataset(args):
-    if args.dataset in ("cora", "citeseer", "pubmed"):
-        try:
-            from gammagl_tpu.datasets import Planetoid
-            ds = Planetoid(root=args.dataset_path, name=args.dataset)
-            return ds[0], ds.num_classes
-        except Exception as e:  # no network: fall back to synthetic
-            print(f"[warn] {args.dataset} unavailable ({e}); "
-                  "using synthetic SBM graph")
-    from gammagl_tpu.datasets import synthetic_community_graph
-    g = synthetic_community_graph(1000, 7, 128, avg_degree=8, seed=0)
-    return g, 7
+    sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+    from common import load_node_dataset
+    return load_node_dataset(args.dataset, args.dataset_path)
 
 
 def main(args):
@@ -63,37 +55,37 @@ def main(args):
     )
     state = TrainState.create(params=params, tx=tx)
 
-    @jax.jit
-    def train_step(state, rng):
+    # Data threaded through as jit ARGUMENTS (closing over device arrays
+    # embeds them as MLIR constants -> minutes-long lowering stalls, see
+    # PERF_NOTES.md); epochs run in chunked lax.scan with the best-val
+    # parameter snapshot tracked on device (replaces the reference's
+    # save-weights-on-best, examples/gcn/gcn_trainer.py:110).
+    sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+    from common import run_epoch_loop
+    d = {"x": x, "edge_index": ei, "y": y, "train_mask": train_mask,
+         "val_mask": val_mask, "test_mask": test_mask}
+
+    def train_step(state, rng, d):
         def loss_fn(p):
-            logits = model.apply(p, x, ei, train=True,
+            logits = model.apply(p, d["x"], d["edge_index"], train=True,
                                  rngs={"dropout": rng})
-            return semi_supervised_loss(logits, y, train_mask)
+            return semi_supervised_loss(logits, d["y"], d["train_mask"])
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
 
-    @jax.jit
-    def evaluate(state):
-        logits = model.apply(state.params, x, ei)
-        return (accuracy(logits, y, val_mask),
-                accuracy(logits, y, test_mask))
+    def evaluate(state, d):
+        logits = model.apply(state.params, d["x"], d["edge_index"])
+        return (accuracy(logits, d["y"], d["val_mask"]),
+                accuracy(logits, d["y"], d["test_mask"]))
 
-    best_val, best_test = 0.0, 0.0
     rng = jax.random.PRNGKey(args.seed + 1)
     t0 = time.time()
-    for epoch in range(args.n_epoch):
-        rng, step_rng = jax.random.split(rng)
-        state, loss = train_step(state, step_rng)
-        val_acc, test_acc = evaluate(state)
-        if val_acc > best_val:
-            best_val, best_test = float(val_acc), float(test_acc)
-            save_checkpoint(args.best_model_path, state)
-        if epoch % 10 == 0 or epoch == args.n_epoch - 1:
-            print(f"epoch {epoch:4d} loss {float(loss):.4f} "
-                  f"val {float(val_acc):.4f} test {float(test_acc):.4f}")
+    state, best_val, best_test, best_params = run_epoch_loop(
+        state, rng, d, train_step, evaluate, args.n_epoch, log_every=10,
+        track_best_params=True)
     dt = time.time() - t0
+    save_checkpoint(args.best_model_path, state.replace(params=best_params))
     print(f"done in {dt:.1f}s ({args.n_epoch / dt:.1f} epochs/s)")
-    print(f"best val {best_val:.4f} -> test {best_test:.4f}")
     return best_test
 
 

@@ -35,23 +35,28 @@ def main(args):
     estimator = GEstimationN(n, num_classes, np.asarray(ei),
                              np.asarray(d["y"]), train_idx)
 
+    # device data threaded as jit args, defined once outside the EM loop
+    # (cur_ei changes size per iteration -> one recompile per new shape)
+    @jax.jit
+    def step(state, x, cur_ei, y, train_mask):
+        loss, grads = jax.value_and_grad(
+            lambda p: semi_supervised_loss(
+                model.apply(p, x, cur_ei), y, train_mask))(state.params)
+        return state.apply_gradients(grads), loss
+
+    @jax.jit
+    def infer(params, x, cur_ei):
+        return model.apply(params, x, cur_ei)
+
     cur_ei = ei
     best = 0.0
     for it in range(args.iters):
         state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
-        @jax.jit
-        def step(state):
-            loss, grads = jax.value_and_grad(
-                lambda p: semi_supervised_loss(
-                    model.apply(p, x, cur_ei), d["y"], d["train_mask"]))(
-                state.params)
-            return state.apply_gradients(grads), loss
-
         for _ in range(args.n_epoch):
-            state, loss = step(state)
+            state, loss = step(state, x, cur_ei, d["y"], d["train_mask"])
         params = state.params
-        logits = model.apply(params, x, cur_ei)
+        logits = infer(params, x, cur_ei)
         acc = float(accuracy(logits, d["y"], d["test_mask"]))
         best = max(best, acc)
         print(f"iter {it}: test acc {acc:.4f}")

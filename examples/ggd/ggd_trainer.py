@@ -32,19 +32,25 @@ def main(args):
     params = model.init(key, x, ei, xc)
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
+    # device data threaded as jit args; corruption inside the jit region
     @jax.jit
-    def step(state, xc):
+    def step(state, rng, x, ei):
+        xc = corrupt_features(rng, x)
         loss, grads = jax.value_and_grad(
             lambda p: model.apply(p, x, ei, xc))(state.params)
         return state.apply_gradients(grads), loss
 
+    @jax.jit
+    def embed(state, x, ei):
+        return model.apply(state.params, x, ei)
+
     rng = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(args.n_epoch):
         rng, k = jax.random.split(rng)
-        state, loss = step(state, corrupt_features(k, x))
+        state, loss = step(state, k, x, ei)
         if epoch % 20 == 0:
             print(f"pretrain {epoch:4d} loss {float(loss):.4f}")
-    emb = model.apply(state.params, x, ei)
+    emb = embed(state, x, ei)
     acc = linear_probe(emb, d, num_classes)
     print(f"probe test acc {acc:.4f}")
     return acc

@@ -33,17 +33,17 @@ def main(args):
     tparams = teacher.init(key, x, ei)
     tstate = TrainState.create(params=tparams, tx=optax.adam(args.lr))
 
+    # device data threaded as jit args (never close over device arrays)
     @jax.jit
-    def t_step(state):
+    def t_step(state, x, ei, y, train_mask):
         loss, grads = jax.value_and_grad(
             lambda p: semi_supervised_loss(teacher.apply(p, x, ei),
-                                           d["y"], d["train_mask"]))(
-            state.params)
+                                           y, train_mask))(state.params)
         return state.apply_gradients(grads), loss
 
     for _ in range(args.n_epoch):
-        tstate, _ = t_step(tstate)
-    t_logits = teacher.apply(tstate.params, x, ei)
+        tstate, _ = t_step(tstate, x, ei, d["y"], d["train_mask"])
+    t_logits = jax.jit(teacher.apply)(tstate.params, x, ei)
     t_acc = float(accuracy(t_logits, d["y"], d["test_mask"]))
 
     # 2) distill into a structure-free MLP student
@@ -53,17 +53,18 @@ def main(args):
     sstate = TrainState.create(params=sparams, tx=optax.adam(args.lr))
 
     @jax.jit
-    def s_step(state):
+    def s_step(state, x, t_logits, y, train_mask):
         def loss_fn(p):
-            return distill_loss(student.apply(p, x), t_logits, d["y"],
-                                d["train_mask"], lam=0.5)
+            return distill_loss(student.apply(p, x), t_logits, y,
+                                train_mask, lam=0.5)
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
 
     for epoch in range(args.n_epoch * 2):
-        sstate, loss = s_step(sstate)
-    s_acc = float(accuracy(student.apply(sstate.params, x), d["y"],
-                           d["test_mask"]))
+        sstate, loss = s_step(sstate, x, t_logits, d["y"],
+                              d["train_mask"])
+    s_acc = float(accuracy(jax.jit(student.apply)(sstate.params, x),
+                           d["y"], d["test_mask"]))
     print(f"teacher acc {t_acc:.4f} -> student (no graph!) acc {s_acc:.4f}")
     return s_acc
 

@@ -32,8 +32,9 @@ def main(args):
     params = model.init(key, x, ei, None, x, ei, None, method="loss")
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
+    # device data threaded as jit args (never close over device arrays)
     @jax.jit
-    def step(state, rng):
+    def step(state, rng, x, ei):
         k1, k2 = jax.random.split(rng)
         x1, w1 = drop_edge_and_feature(k1, x, ei, 0.2, 0.2)
         x2, w2 = drop_edge_and_feature(k2, x, ei, 0.3, 0.3)
@@ -45,10 +46,10 @@ def main(args):
     rng = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(args.n_epoch):
         rng, k = jax.random.split(rng)
-        state, loss = step(state, k)
+        state, loss = step(state, k, x, ei)
         if epoch % 20 == 0:
             print(f"pretrain {epoch:4d} loss {float(loss):.4f}")
-    emb = model.apply(state.params, x, ei)
+    emb = jax.jit(model.apply)(state.params, x, ei)
     acc = linear_probe(emb, d, num_classes)
     print(f"probe test acc {acc:.4f}")
     return acc

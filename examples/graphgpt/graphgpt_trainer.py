@@ -45,8 +45,9 @@ def main(args):
                         tokens)
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
+    # device data threaded as jit args (never close over device arrays)
     @jax.jit
-    def step(state, node_ids, tokens):
+    def step(state, x, ei, node_ids, tokens):
         def loss_fn(p):
             loss, _ = model.apply(p, x, ei, node_ids, tokens)
             return loss
@@ -55,14 +56,14 @@ def main(args):
 
     for epoch in range(args.n_epoch):
         node_ids, tokens = batch(epoch)
-        state, loss = step(state, node_ids, tokens)
+        state, loss = step(state, x, ei, node_ids, tokens)
         if epoch % 5 == 0:
             print(f"epoch {epoch:3d} CLIP loss {float(loss):.4f}")
 
     # stage-2 ingredient: splice graph embeddings into LM inputs
     adapter = GraphLlamaAdapter(lm_hidden_size=64, graph_hidden_size=32)
     ap = adapter.init(jax.random.PRNGKey(0), x, ei)
-    g_emb = adapter.apply(ap, x, ei)
+    g_emb = jax.jit(adapter.apply)(ap, x, ei)
     print("graph tokens for the LM:", np.asarray(g_emb).shape)
     return state
 

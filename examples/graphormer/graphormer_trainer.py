@@ -56,6 +56,10 @@ def main(args):
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
 
+    @jax.jit
+    def infer(state, x, ind, outd, dist):
+        return model.apply(state.params, x, ind, outd, dist)
+
     for epoch in range(args.n_epoch):
         total = 0.0
         for x, ind, outd, dist, label in graphs:
@@ -63,8 +67,7 @@ def main(args):
                                jnp.asarray(label))
             total += float(loss)
         correct = sum(
-            int(jnp.argmax(model.apply(state.params, x, ind, outd,
-                                       dist))) == label
+            int(jnp.argmax(infer(state, x, ind, outd, dist))) == label
             for x, ind, outd, dist, label in graphs)
         print(f"epoch {epoch:3d} loss {total / len(graphs):.4f} "
               f"acc {correct / len(graphs):.4f}")

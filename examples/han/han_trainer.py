@@ -73,8 +73,9 @@ def main(args):
     params = model.init({"params": key, "dropout": key}, x_dict, ei_dict)
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
+    # device data threaded as jit args (never close over device arrays)
     @jax.jit
-    def step(state, rng):
+    def step(state, rng, x_dict, ei_dict, y, train_mask):
         def loss_fn(p):
             logits = model.apply(p, x_dict, ei_dict, train=True,
                                  rngs={"dropout": rng})
@@ -83,17 +84,20 @@ def main(args):
             loss_fn, has_aux=True)(state.params)
         return state.apply_gradients(grads), loss, logits
 
+    @jax.jit
+    def infer(state, x_dict, ei_dict):
+        return model.apply(state.params, x_dict, ei_dict)
+
     rng = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(args.n_epoch):
         rng, k = jax.random.split(rng)
-        state, loss, logits = step(state, k)
+        state, loss, logits = step(state, k, x_dict, ei_dict, y,
+                                   train_mask)
         if epoch % 10 == 0:
-            acc = accuracy(model.apply(state.params, x_dict, ei_dict), y,
-                           test_mask)
+            acc = accuracy(infer(state, x_dict, ei_dict), y, test_mask)
             print(f"epoch {epoch:3d} loss {float(loss):.4f} "
                   f"test {float(acc):.4f}")
-    acc = accuracy(model.apply(state.params, x_dict, ei_dict), y,
-                   test_mask)
+    acc = accuracy(infer(state, x_dict, ei_dict), y, test_mask)
     print(f"final test acc {float(acc):.4f}")
     return float(acc)
 

@@ -44,18 +44,19 @@ def main(args):
     params = model.init(key, x_dict, ei_dict, mp_edges, pos)
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
+    # device data threaded as jit args (never close over device arrays)
     @jax.jit
-    def step(state):
+    def step(state, x_dict, ei_dict, mp_edges, pos):
         loss, grads = jax.value_and_grad(
             lambda p: model.apply(p, x_dict, ei_dict, mp_edges, pos))(
             state.params)
         return state.apply_gradients(grads), loss
 
     for epoch in range(args.n_epoch):
-        state, loss = step(state)
+        state, loss = step(state, x_dict, ei_dict, mp_edges, pos)
         if epoch % 10 == 0:
             print(f"pretrain {epoch:3d} loss {float(loss):.4f}")
-    emb = model.apply(state.params, x_dict, ei_dict, mp_edges)
+    emb = jax.jit(model.apply)(state.params, x_dict, ei_dict, mp_edges)
     d = {"y": jnp.asarray(np.asarray(hg["movie"].y)),
          "train_mask": jnp.asarray(np.asarray(hg["movie"].train_mask)),
          "test_mask": jnp.asarray(np.asarray(hg["movie"].test_mask))}

@@ -50,8 +50,9 @@ def main(args):
                         num_graphs)
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
+    # device data threaded as jit args (never close over device arrays)
     @jax.jit
-    def step(state):
+    def step(state, x, ei, batch):
         def loss_fn(p):
             loss, _ = model.apply(p, x, ei, batch, num_graphs)
             return loss
@@ -59,10 +60,11 @@ def main(args):
         return state.apply_gradients(grads), loss
 
     for epoch in range(args.n_epoch):
-        state, loss = step(state)
+        state, loss = step(state, x, ei, batch)
         if epoch % 10 == 0:
             print(f"pretrain {epoch:4d} loss {float(loss):.4f}")
-    _, h_graph = model.apply(state.params, x, ei, batch, num_graphs)
+    _, h_graph = jax.jit(model.apply, static_argnums=4)(
+        state.params, x, ei, batch, num_graphs)
     print("graph embeddings:", np.asarray(h_graph).shape)
     return h_graph
 

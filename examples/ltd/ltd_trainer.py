@@ -35,17 +35,17 @@ def main(args):
     tparams = teacher.init(key, x, ei)
     tstate = TrainState.create(params=tparams, tx=optax.adam(args.lr))
 
+    # device data threaded as jit args (never close over device arrays)
     @jax.jit
-    def t_step(state):
+    def t_step(state, x, ei, y, train_mask):
         loss, grads = jax.value_and_grad(
             lambda p: semi_supervised_loss(teacher.apply(p, x, ei),
-                                           d["y"], d["train_mask"]))(
-            state.params)
+                                           y, train_mask))(state.params)
         return state.apply_gradients(grads), loss
 
     for _ in range(args.n_epoch):
-        tstate, _ = t_step(tstate)
-    t_logits = teacher.apply(tstate.params, x, ei)
+        tstate, _ = t_step(tstate, x, ei, d["y"], d["train_mask"])
+    t_logits = jax.jit(teacher.apply)(tstate.params, x, ei)
 
     student = GLNNStudent(hidden_dim=args.hidden_dim,
                           num_class=num_classes, drop_rate=0.0)
@@ -55,22 +55,23 @@ def main(args):
     opt_state = tx.init(sparams)
 
     @jax.jit
-    def s_step(params, opt_state):
+    def s_step(params, opt_state, x, t_logits, y, train_mask):
         def loss_fn(ps):
             temp = jnp.exp(ps["log_temp"])
             soft = jax.nn.softmax(t_logits / temp)
             logits = student.apply(ps["student"], x)
             kd = optax.softmax_cross_entropy(logits / temp, soft).mean()
-            ce = semi_supervised_loss(logits, d["y"], d["train_mask"])
+            ce = semi_supervised_loss(logits, y, train_mask)
             return 0.5 * ce + 0.5 * kd
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
     for epoch in range(args.n_epoch * 2):
-        sparams, opt_state, loss = s_step(sparams, opt_state)
-    acc = float(accuracy(student.apply(sparams["student"], x), d["y"],
-                         d["test_mask"]))
+        sparams, opt_state, loss = s_step(sparams, opt_state, x, t_logits,
+                                          d["y"], d["train_mask"])
+    acc = float(accuracy(jax.jit(student.apply)(sparams["student"], x),
+                         d["y"], d["test_mask"]))
     print(f"LTD student acc {acc:.4f}")
     return acc
 

@@ -36,8 +36,10 @@ def main(args):
     params = model.init(key, x, ei, ei, diff_w, xc)
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
+    # device data threaded as jit args; corruption inside the jit region
     @jax.jit
-    def step(state, xc):
+    def step(state, rng, x, ei, diff_w):
+        xc = corrupt_features(rng, x)
         loss, grads = jax.value_and_grad(
             lambda p: model.apply(p, x, ei, ei, diff_w, xc))(state.params)
         return state.apply_gradients(grads), loss
@@ -45,10 +47,10 @@ def main(args):
     rng = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(args.n_epoch):
         rng, k = jax.random.split(rng)
-        state, loss = step(state, corrupt_features(k, x))
+        state, loss = step(state, k, x, ei, diff_w)
         if epoch % 20 == 0:
             print(f"pretrain {epoch:4d} loss {float(loss):.4f}")
-    emb = model.apply(state.params, x, ei, ei, diff_w)
+    emb = jax.jit(model.apply)(state.params, x, ei, ei, diff_w)
     acc = linear_probe(emb, d, num_classes)
     print(f"probe test acc {acc:.4f}")
     return acc

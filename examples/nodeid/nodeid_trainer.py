@@ -36,14 +36,15 @@ def main(args):
     tx = optax.adam(args.lr)
     opt_state = tx.init(params)
 
+    # device data threaded as jit args (never close over device arrays)
     @jax.jit
-    def step(params, vq_stats, opt_state):
+    def step(params, vq_stats, opt_state, x, ei, y, train_mask):
         def loss_fn(p):
             (logits, commit, ids, gnn_id), new_stats = model.apply(
                 {"params": p, "vq_stats": vq_stats}, x, ei, train=True,
                 mutable=["vq_stats"],
                 rngs={"dropout": jax.random.PRNGKey(0)})
-            loss = semi_supervised_loss(logits, d["y"], d["train_mask"])
+            loss = semi_supervised_loss(logits, y, train_mask)
             return loss + 0.25 * commit, new_stats
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
@@ -51,17 +52,19 @@ def main(args):
         return (optax.apply_updates(params, updates),
                 new_stats["vq_stats"], opt_state, loss)
 
+    @jax.jit
+    def infer(params, vq_stats, x, ei):
+        return model.apply({"params": params, "vq_stats": vq_stats}, x, ei)
+
     for epoch in range(args.n_epoch):
-        params, vq_stats, opt_state, loss = step(params, vq_stats,
-                                                 opt_state)
+        params, vq_stats, opt_state, loss = step(
+            params, vq_stats, opt_state, x, ei, d["y"], d["train_mask"])
         if epoch % 10 == 0:
-            logits, commit, ids, gnn_id = model.apply(
-                {"params": params, "vq_stats": vq_stats}, x, ei)
+            logits, commit, ids, gnn_id = infer(params, vq_stats, x, ei)
             acc = accuracy(logits, d["y"], d["test_mask"])
             print(f"epoch {epoch:3d} loss {float(loss):.4f} "
                   f"test {float(acc):.4f}")
-    logits, commit, ids, gnn_id = model.apply(
-        {"params": params, "vq_stats": vq_stats}, x, ei)
+    logits, commit, ids, gnn_id = infer(params, vq_stats, x, ei)
     acc = float(accuracy(logits, d["y"], d["test_mask"]))
     print(f"final test acc {acc:.4f}")
     return acc

@@ -63,8 +63,9 @@ def main(args):
     params = model.init(jax.random.PRNGKey(args.seed), x, ei, et)
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
+    # device data threaded as jit args (never close over device arrays)
     @jax.jit
-    def step(state):
+    def step(state, x, ei, et, y, train_mask):
         def loss_fn(p):
             logits = model.apply(p, x, ei, et)
             return semi_supervised_loss(logits, y, train_mask), logits
@@ -73,12 +74,13 @@ def main(args):
         return state.apply_gradients(grads), loss, logits
 
     for epoch in range(args.n_epoch):
-        state, loss, logits = step(state)
+        state, loss, logits = step(state, x, ei, et, y, train_mask)
         if epoch % 10 == 0:
             acc = accuracy(logits, y, test_mask)
             print(f"epoch {epoch:3d} loss {float(loss):.4f} "
                   f"test {float(acc):.4f}")
-    acc = accuracy(model.apply(state.params, x, ei, et), y, test_mask)
+    acc = accuracy(jax.jit(model.apply)(state.params, x, ei, et), y,
+                   test_mask)
     print(f"final test acc {float(acc):.4f}")
 
 

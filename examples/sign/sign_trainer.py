@@ -35,8 +35,9 @@ def main(args):
     params = model.init({"params": key, "dropout": key}, xs)
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
+    # device data threaded as jit args (never close over device arrays)
     @jax.jit
-    def step(state, rng):
+    def step(state, rng, xs, y, train_mask):
         def loss_fn(p):
             logits = model.apply(p, xs, train=True, rngs={"dropout": rng})
             return semi_supervised_loss(logits, y, train_mask)
@@ -46,8 +47,8 @@ def main(args):
     rng = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(args.n_epoch):
         rng, k = jax.random.split(rng)
-        state, loss = step(state, k)
-    acc = accuracy(model.apply(state.params, xs), y, test_mask)
+        state, loss = step(state, k, xs, y, train_mask)
+    acc = accuracy(jax.jit(model.apply)(state.params, xs), y, test_mask)
     print(f"SIGN K={args.K} test acc {float(acc):.4f}")
     return float(acc)
 

@@ -51,8 +51,9 @@ def main(args):
     params = model.init({"params": key, "dropout": key}, x, ei, et)
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
+    # device data threaded as jit args (never close over device arrays)
     @jax.jit
-    def step(state, rng):
+    def step(state, rng, x, ei, et, y, train_mask):
         def loss_fn(p):
             logits = model.apply(p, x, ei, et,
                                  rngs={"dropout": rng})[:n_m]
@@ -60,17 +61,19 @@ def main(args):
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
 
+    @jax.jit
+    def infer(state, x, ei, et):
+        return model.apply(state.params, x, ei, et)[:n_m]
+
     rng = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(args.n_epoch):
         rng, k = jax.random.split(rng)
-        state, loss = step(state, k)
+        state, loss = step(state, k, x, ei, et, y, train_mask)
         if epoch % 10 == 0:
-            acc = accuracy(model.apply(state.params, x, ei, et)[:n_m],
-                           y, test_mask)
+            acc = accuracy(infer(state, x, ei, et), y, test_mask)
             print(f"epoch {epoch:3d} loss {float(loss):.4f} "
                   f"test {float(acc):.4f}")
-    acc = float(accuracy(model.apply(state.params, x, ei, et)[:n_m], y,
-                         test_mask))
+    acc = float(accuracy(infer(state, x, ei, et), y, test_mask))
     print(f"final test acc {acc:.4f}")
     return acc
 

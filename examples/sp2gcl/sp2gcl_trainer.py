@@ -33,17 +33,19 @@ def main(args):
     params = model.init(key, x, ei, u)
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
+    # device data threaded as jit args (never close over device arrays)
     @jax.jit
-    def step(state):
+    def step(state, x, ei, u):
         loss, grads = jax.value_and_grad(
             lambda p: model.apply(p, x, ei, u))(state.params)
         return state.apply_gradients(grads), loss
 
     for epoch in range(args.n_epoch):
-        state, loss = step(state)
+        state, loss = step(state, x, ei, u)
         if epoch % 20 == 0:
             print(f"pretrain {epoch:4d} loss {float(loss):.4f}")
-    emb = model.apply(state.params, x, ei, u, method="embed") \
+    emb = jax.jit(model.apply, static_argnames=("method",))(
+        state.params, x, ei, u, method="embed") \
         if hasattr(Sp2GCLModel, "embed") else x
     acc = linear_probe(jnp.asarray(emb), d, num_classes)
     print(f"probe test acc {acc:.4f}")

@@ -36,21 +36,26 @@ def main(args):
     params = model.init({"params": key, "dropout": key}, x, lam, u)
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
+    # device data threaded as jit args (never close over device arrays)
     @jax.jit
-    def step(state, rng):
+    def step(state, rng, x, lam, u, y, train_mask):
         def loss_fn(p):
             logits = model.apply(p, x, lam, u, train=True,
                                  rngs={"dropout": rng})
-            return semi_supervised_loss(logits, d["y"], d["train_mask"])
+            return semi_supervised_loss(logits, y, train_mask)
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
+
+    @jax.jit
+    def infer(state, x, lam, u):
+        return model.apply(state.params, x, lam, u)
 
     rng = jax.random.PRNGKey(args.seed + 1)
     best = 0.0
     for epoch in range(args.n_epoch):
         rng, k = jax.random.split(rng)
-        state, loss = step(state, k)
-        acc = float(accuracy(model.apply(state.params, x, lam, u),
+        state, loss = step(state, k, x, lam, u, d["y"], d["train_mask"])
+        acc = float(accuracy(infer(state, x, lam, u),
                              d["y"], d["test_mask"]))
         best = max(best, acc)
         if epoch % 20 == 0:

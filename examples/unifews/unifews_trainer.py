@@ -35,21 +35,21 @@ def main(args):
     logger = UniFewsLogger(args.dataset, "gcn_unifews",
                            dir_base="/tmp/unifews_log")
 
+    # device data threaded as jit args (never close over device arrays)
     @jax.jit
-    def step(state):
+    def step(state, x, ei, y, train_mask):
         loss, grads = jax.value_and_grad(
             lambda p: semi_supervised_loss(model.apply(p, x, ei),
-                                           d["y"], d["train_mask"]))(
-            state.params)
+                                           y, train_mask))(state.params)
         return state.apply_gradients(grads), loss
 
     sw = Stopwatch(); sw.start()
     for epoch in range(args.n_epoch):
-        state, loss = step(state)
+        state, loss = step(state, x, ei, d["y"], d["train_mask"])
     t_train = sw.pause()
     # weight pruning pass (reference UniFews prunes weights entry-wise)
     pruned, masks = prune_params(state.params, args.weight_thr)
-    acc = float(accuracy(model.apply(pruned, x, ei), d["y"],
+    acc = float(accuracy(jax.jit(model.apply)(pruned, x, ei), d["y"],
                          d["test_mask"]))
     sp = sparsity(masks)
     hs, cs = logger.str_csv(args.dataset, "gcn_unifews", args.seed,

@@ -52,8 +52,9 @@ def main(args):
                                rng=np.random.default_rng(args.seed))
     neg = jnp.asarray(neg_np)
 
+    # device data threaded as jit args (never close over device arrays)
     @jax.jit
-    def step(state, rng):
+    def step(state, rng, x, ei, neg):
         def loss_fn(p):
             mu, logstd, z = model.apply(p, x, ei, rng=rng)
             return (recon_loss(z, ei, neg)
@@ -63,11 +64,11 @@ def main(args):
 
     for epoch in range(args.n_epoch):
         rng, k = jax.random.split(rng)
-        state, loss = step(state, k)
+        state, loss = step(state, k, x, ei, neg)
         if epoch % 20 == 0:
             print(f"epoch {epoch:4d} loss {float(loss):.4f}")
 
-    mu, logstd, _ = model.apply(state.params, x, ei)
+    mu, logstd, _ = jax.jit(model.apply)(state.params, x, ei)
     test_pos = np.asarray(test_g.edge_label_index)[
         :, np.asarray(test_g.edge_label) == 1]
     test_neg = np.asarray(test_g.edge_label_index)[

@@ -207,32 +207,85 @@ class Entities(InMemoryDataset):
         extract_tar(path, self.raw_dir, mode="r:gz")
         os.remove(path)
 
+    @staticmethod
+    def _parse_nt(fh):
+        """Minimal N-Triples parser: `<s> <p> <o> .` / literal objects.
+
+        Replaces the reference's rdflib dependency (entities.py) for the
+        standard stripped.nt releases; rdflib, when installed, is used
+        instead for full spec coverage.
+        """
+        triples = []
+        for raw in fh:
+            line = raw.decode() if isinstance(raw, bytes) else raw
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.rstrip(" .").split(None, 2)
+            if len(parts) != 3:
+                continue
+            triples.append(tuple(p.strip() for p in parts))
+        return triples
+
     def process(self):
+        import gzip
+
         try:
             import rdflib
-        except ImportError as e:
-            raise ImportError(
-                "Entities datasets need rdflib to parse ntriples") from e
-        import gzip
-        import pandas as pd
-
-        graph = rdflib.Graph()
-        with gzip.open(self.raw_paths[0], "rb") as f:
-            graph.parse(file=f, format="nt")
-        relations = sorted(set(graph.predicates()))
-        nodes = sorted(set(graph.subjects()) | set(graph.objects()))
+            graph = rdflib.Graph()
+            with gzip.open(self.raw_paths[0], "rb") as f:
+                graph.parse(file=f, format="nt")
+            triples = list(graph)
+        except ImportError:
+            with gzip.open(self.raw_paths[0], "rt") as f:
+                triples = self._parse_nt(f)
+        relations = sorted({str(p) for _, p, _ in triples})
+        nodes = sorted({str(s) for s, _, _ in triples}
+                       | {str(o) for _, _, o in triples})
         n2i = {n: i for i, n in enumerate(nodes)}
         r2i = {r: i for i, r in enumerate(relations)}
         src, dst, etype = [], [], []
-        for s, p, o in graph:
-            src.append(n2i[s])
-            dst.append(n2i[o])
-            etype.append(r2i[p])
+        for s, p, o in triples:
+            src.append(n2i[str(s)])
+            dst.append(n2i[str(o)])
+            etype.append(r2i[str(p)])
         g = Graph(edge_index=np.asarray([src, dst], np.int64),
                   num_nodes=len(nodes))
         g.edge_type = np.asarray(etype, np.int64)
         g.num_relations = len(relations)
-        # labeled entity splits
+        # labeled entity splits (reference entities.py:131-170: per-task
+        # node/label TSV columns; entity URIs map back into n2i)
+        headers = {"am": ("label_cateogory", "proxy"),
+                   "aifb": ("label_affiliation", "person"),
+                   "mutag": ("label_mutagenic", "bond"),
+                   "bgs": ("label_lithogenesis", "rock")}
+        label_header, nodes_header = headers[self.name]
+        lab2i = {}
+
+        def read_split(path):
+            idx, ys = [], []
+            with open(path) as f:
+                cols = f.readline().rstrip("\n").split("\t")
+                li, ni = cols.index(label_header), cols.index(nodes_header)
+                for line in f:
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) <= max(li, ni):
+                        continue
+                    ent = f"<{parts[ni]}>"
+                    key = ent if ent in n2i else parts[ni]
+                    if key not in n2i:
+                        continue
+                    lab = lab2i.setdefault(parts[li], len(lab2i))
+                    idx.append(n2i[key])
+                    ys.append(lab)
+            return np.asarray(idx, np.int64), np.asarray(ys, np.int64)
+
+        train_path = osp.join(self.raw_dir, "trainingSet.tsv")
+        test_path = osp.join(self.raw_dir, "testSet.tsv")
+        if osp.exists(train_path):
+            g.train_idx, g.train_y = read_split(train_path)
+        if osp.exists(test_path):
+            g.test_idx, g.test_y = read_split(test_path)
         self.data = g
         self.save_data(g, self.processed_paths[0])
 

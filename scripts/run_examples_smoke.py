@@ -13,6 +13,7 @@ epoch count; success = exit code 0 within the timeout.
 
 import argparse
 import concurrent.futures as cf
+import json
 import os
 import os.path as osp
 import subprocess
@@ -53,6 +54,8 @@ def run_one(d, timeout, force_cpu):
     args = [sys.executable, trainer]
     args += EXTRA_ARGS.get(d) or epoch_args(trainer)
     env = dict(os.environ)
+    # never let a blackholing resolver stall a trainer mid-smoke
+    env.setdefault("GGL_TPU_OFFLINE", "1")
     if force_cpu:
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                             + " --xla_force_host_platform_device_count=8")
@@ -78,6 +81,9 @@ def main():
                     help=">1 requires --cpu (the TPU is single-tenant)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (8 virtual devices)")
+    ap.add_argument("--json", default=None,
+                    help="write per-example {status, seconds} to this "
+                         "JSON file (the SMOKE_r* driver artifact)")
     args = ap.parse_args()
     if args.jobs > 1 and not args.cpu:
         ap.error("--jobs > 1 requires --cpu")
@@ -93,14 +99,27 @@ def main():
             for f in cf.as_completed(futs):
                 d, status, dt = f.result()
                 print(f"{d:24s} {status:40s} {dt:6.1f}s", flush=True)
-                results.append((d, status))
+                results.append((d, status, dt))
     else:
         for d in dirs:
             d, status, dt = run_one(d, args.timeout, args.cpu)
             print(f"{d:24s} {status:40s} {dt:6.1f}s", flush=True)
-            results.append((d, status))
+            results.append((d, status, dt))
     bad = [r for r in results if not r[1].startswith(("OK", "SKIP"))]
     print(f"\n{len(results) - len(bad)}/{len(results)} passed")
+    if args.json:
+        import jax
+        payload = {
+            "backend": "cpu" if args.cpu else jax.default_backend(),
+            "timeout_s": args.timeout,
+            "passed": len(results) - len(bad),
+            "total": len(results),
+            "examples": {d: {"status": s, "seconds": round(t, 1)}
+                         for d, s, t in sorted(results)},
+        }
+        with open(args.json, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {args.json}")
     if bad:
         print("failures:", ", ".join(d for d, _ in bad))
         sys.exit(1)

@@ -9,12 +9,26 @@ pytest starts, so the platform must be overridden via jax.config (env vars
 alone are not enough).
 """
 import os
+import sys
+
+# `pytest --tpu` keeps the ambient TPU backend (for the `-m fast` gate
+# tier); the env var must be decided before jax import, so peek at argv.
+_USE_TPU = "--tpu" in sys.argv
 
 flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
+if not _USE_TPU and "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--tpu", action="store_true", default=False,
+        help="run on the ambient TPU backend instead of the 8-device "
+             "virtual CPU mesh (use with `-m fast`: the full suite "
+             "compiles too much for the chip tier)")
