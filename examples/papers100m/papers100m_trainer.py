@@ -102,6 +102,12 @@ def main():
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--rcm", action="store_true",
                     help="RCM reorder to shrink halos")
+    ap.add_argument("--balance", action="store_true",
+                    help="degree-balanced owner blocks "
+                         "(parallel.balance_permutation): equalizes "
+                         "edges/device on power-law graphs (2x padded-"
+                         "edge inflation observed at arxiv scale "
+                         "without it)")
     ap.add_argument("--slices", type=int, default=1,
                     help=">1: two-level halo over a (slices, dp) mesh — "
                          "ICI all_to_all within a slice, slice-deduped "
@@ -147,6 +153,13 @@ def main():
 
     if args.rcm:
         perm, inv = reorder_bandwidth(ei, n)
+        ei = inv[np.asarray(ei)]
+        x, y, train, val = x[perm], y[perm], train[perm], val[perm]
+    if args.balance:
+        from gammagl_tpu.parallel import balance_permutation
+        perm, inv = balance_permutation(
+            np.asarray(ei), n, ndev if args.slices <= 1
+            else args.slices * (ndev // args.slices))
         ei = inv[np.asarray(ei)]
         x, y, train, val = x[perm], y[perm], train[perm], val[perm]
 

@@ -8,6 +8,7 @@ SURVEY.md section 2.10). All scale-out is expressed through
 from gammagl_tpu.parallel.mesh import (make_mesh, replicate, shard,
                                        PartitionSpec, NamedSharding)
 from gammagl_tpu.parallel.partition import (EdgePartition,
+                                            balance_permutation,
                                             partition_edges_by_dst,
                                             partition_edges_uniform)
 from gammagl_tpu.parallel.spmm import sharded_spmm, make_sharded_spmm
@@ -26,6 +27,8 @@ from gammagl_tpu.parallel.halo_attention import (
     make_partitioned_gat_layer)
 
 from gammagl_tpu.parallel.strategies import (pipeline_apply, make_feature_sharded_spmm, relation_expert_spmm)
+from gammagl_tpu.parallel.scaling import (HwModel, V5E,
+                                          halo_scaling_estimate)
 from gammagl_tpu.parallel.full_graph import (pad_nodes, shard_nodes,
                                              sign_precompute,
                                              make_partitioned_gcn_train,
@@ -41,6 +44,7 @@ __all__ = [
     "EdgePartition",
     "partition_edges_by_dst",
     "partition_edges_uniform",
+    "balance_permutation",
     "sharded_spmm",
     "make_sharded_spmm",
     "HaloPartition",
@@ -69,4 +73,7 @@ __all__ = [
     "make_partitioned_gcn_train",
     "make_partitioned_gat_train",
     "estimate_hbm_gb",
+    "HwModel",
+    "V5E",
+    "halo_scaling_estimate",
 ]

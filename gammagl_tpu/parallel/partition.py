@@ -19,7 +19,7 @@ from typing import NamedTuple
 import numpy as np
 
 __all__ = ["EdgePartition", "partition_edges_by_dst",
-           "partition_edges_uniform"]
+           "partition_edges_uniform", "balance_permutation"]
 
 
 class EdgePartition(NamedTuple):
@@ -80,3 +80,53 @@ def partition_edges_uniform(edge_index, num_nodes, num_parts,
     ei_p, w_p = _pad_shards(shards, wshards, num_nodes, num_parts)
     return EdgePartition(ei_p, w_p, np.zeros(num_parts, np.int32),
                          num_parts, num_nodes)
+
+
+def balance_permutation(edge_index, num_nodes, num_parts, row_align=8):
+    """Degree-balanced node relabeling for the block-owner halo partitions.
+
+    The halo tiers assign node v to device ``v // rows_per``; on skewed
+    (power-law) graphs a natural ordering concentrates high in-degree
+    nodes in a few blocks, inflating the padded per-device edge count
+    (observed 2x at arxiv scale -> ~50% scaling efficiency). This deals
+    nodes to the P owner blocks greedily by in-degree (largest-first
+    into the lightest unfilled block) so every block owns ~equal edges.
+
+    Returns ``(perm, inv)`` with the `reorder_bandwidth` contract:
+    relabel edges with ``ei = inv[ei]``, reorder node data with
+    ``x = x[perm]``. New ids stay dense in [0, num_nodes): parts
+    0..P-2 receive exactly ``rows_per`` nodes, the last the remainder.
+    Falls back to identity when the graph is too small to fill P-1
+    aligned blocks.
+    """
+    ei = np.asarray(edge_index)
+    ceil_rows = -(-num_nodes // num_parts)
+    rows_per = -(-ceil_rows // row_align) * row_align  # align like halo._round_up
+    caps = np.full(num_parts, rows_per, np.int64)
+    caps[-1] = num_nodes - (num_parts - 1) * rows_per
+    if caps[-1] < 0:  # tiny graph: blocks cannot all be aligned-full
+        ident = np.arange(num_nodes, dtype=np.int64)
+        return ident, ident
+    indeg = np.bincount(ei[1], minlength=num_nodes).astype(np.int64)
+    order = np.argsort(-indeg, kind="stable")
+    load = np.zeros(num_parts, np.float64)
+    fill = np.zeros(num_parts, np.int64)
+    assign = np.empty(num_nodes, np.int64)
+    big = np.inf
+    for v in order:
+        masked = np.where(fill < caps, load, big)
+        p = int(np.argmin(masked))
+        assign[v] = p
+        fill[p] += 1
+        load[p] += indeg[v]
+    # new id = block offset + arrival order within the block
+    starts = np.arange(num_parts, dtype=np.int64) * rows_per
+    fill[:] = 0
+    inv = np.empty(num_nodes, np.int64)
+    for v in order:
+        p = assign[v]
+        inv[v] = starts[p] + fill[p]
+        fill[p] += 1
+    perm = np.empty(num_nodes, np.int64)
+    perm[inv] = np.arange(num_nodes)
+    return perm, inv

@@ -7,6 +7,9 @@ LLM prompts, token-index constants, stopping criteria.
 __all__ = [
     "DEFAULT_GRAPH_TOKEN",
     "DEFAULT_GRAPH_PATCH_TOKEN",
+    "DEFAULT_GRAPH_START_TOKEN",
+    "DEFAULT_GRAPH_END_TOKEN",
+    "DEFAULT_GRAPH_PAD_ID",
     "DEFAULT_G_START_TOKEN",
     "DEFAULT_G_END_TOKEN",
     "GRAPH_TOKEN_INDEX",
@@ -16,6 +19,9 @@ __all__ = [
 ]
 
 DEFAULT_GRAPH_TOKEN = "<graph>"
+DEFAULT_GRAPH_START_TOKEN = "<GH>"
+DEFAULT_GRAPH_END_TOKEN = "</GH>"
+DEFAULT_GRAPH_PAD_ID = -500
 DEFAULT_GRAPH_PATCH_TOKEN = "<g_patch>"
 DEFAULT_G_START_TOKEN = "<g_start>"
 DEFAULT_G_END_TOKEN = "<g_end>"
