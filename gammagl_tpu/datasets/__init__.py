@@ -1,6 +1,8 @@
 """Dataset zoo (reference: gammagl/datasets/__init__.py -- 32 exports)."""
 
 from gammagl_tpu.datasets.planetoid import Planetoid
+from gammagl_tpu.datasets.real_structure import (load_real_structure,
+                                                 real_structure_available)
 from gammagl_tpu.datasets.npz_datasets import (Amazon, Coauthor,
                                                FacebookPagePage,
                                                DeezerEurope, GitHub)
@@ -24,6 +26,8 @@ from gammagl_tpu.datasets.wave4_datasets import (ModelNet40, ShapeNet, NGSIM_US_
 
 __all__ = [
     "Planetoid",
+    "load_real_structure",
+    "real_structure_available",
     "Amazon",
     "Coauthor",
     "FacebookPagePage",

@@ -33,6 +33,14 @@ def main():
                          "(gather-wall mitigation; see auto_src_blocks)")
     ap.add_argument("--only-blocked", action="store_true",
                     help="skip the unblocked variants")
+    ap.add_argument("--real", choices=["cora", "citeseer", "pubmed"],
+                    default=None,
+                    help="use the reference's bundled REAL citation "
+                         "adjacency (datasets/real_structure.py) instead "
+                         "of a uniform-random synthetic graph")
+    ap.add_argument("--balance", action="store_true",
+                    help="apply parallel.balance_permutation before "
+                         "partitioning")
     args = ap.parse_args()
 
     import jax
@@ -48,10 +56,21 @@ def main():
 
     dt = jnp.dtype(args.dtype)
     rng = np.random.default_rng(0)
-    ei = np.stack([rng.integers(0, args.nodes, args.edges),
-                   rng.integers(0, args.nodes, args.edges)])
+    if args.real:
+        from gammagl_tpu.datasets import load_real_structure
+        ei, args.nodes, is_real = load_real_structure(args.real)
+        args.edges = ei.shape[1]
+        print(f"{args.real}: {args.nodes:,} nodes / {args.edges:,} edges "
+              f"({'REAL adjacency' if is_real else 'synthetic fallback'})")
+    else:
+        ei = np.stack([rng.integers(0, args.nodes, args.edges),
+                       rng.integers(0, args.nodes, args.edges)])
     w = rng.random(args.edges).astype(np.float32)
     ndev = len(jax.devices())
+    if args.balance:
+        from gammagl_tpu.parallel import balance_permutation
+        _, inv = balance_permutation(ei, args.nodes, ndev)
+        ei = inv[np.asarray(ei)]
     mesh = Mesh(np.asarray(jax.devices()), ("dp",))
 
     t0 = time.perf_counter()

@@ -27,6 +27,23 @@ GRAPHS = {
 }
 
 
+def graph_structure(name, rng):
+    """(src, dst, N, tag): REAL adjacency for cora/citeseer/pubmed when
+    the reference's bundled CSR files are present (datasets/
+    real_structure.py — power-law degree skew and genuine gather
+    locality instead of uniform-random synthetic), synthetic power-law
+    otherwise."""
+    from gammagl_tpu.datasets import load_real_structure
+    if name in ("cora", "citeseer", "pubmed"):
+        ei, n, is_real = load_real_structure(name)
+        if is_real:
+            return ei[0], ei[1], n, f"{name}*"
+    N, E = GRAPHS[name]
+    src = rng.integers(0, N, E)
+    dst = (N * (rng.random(E) ** 1.5)).astype(np.int64)
+    return src, dst, N, name
+
+
 def timeit(fn, args_cycle, iters=10, warmup=2):
     k = len(args_cycle)
     # warm every buffer: jnp.asarray is LAZY through the remote runtime,
@@ -58,9 +75,8 @@ def main():
     print(f"{'graph':>12} {'F':>4} {'xla spmm':>10} {'pallas':>10} "
           f"{'speedup':>8} {'edges/s':>12}")
     for name in args.graphs:
-        N, E = GRAPHS[name]
-        src = rng.integers(0, N, E)
-        dst = (N * (rng.random(E) ** 1.5)).astype(np.int64)
+        src, dst, N, name = graph_structure(name, rng)
+        E = len(src)
         w = rng.random(E).astype(np.float32)
         ei = jnp.asarray(np.stack([src, dst]).astype(np.int32))
         wj = jnp.asarray(w)
@@ -84,9 +100,8 @@ def main():
     print(f"\n{'graph':>12} {'F':>4} {'op':>6} {'xla':>10} "
           f"{'pallas':>10} {'edges/s':>12}")
     for name in args.graphs:
-        N, E = GRAPHS[name]
-        src = rng.integers(0, N, E)
-        dst = (N * (rng.random(E) ** 1.5)).astype(np.int64)
+        src, dst, N, name = graph_structure(name, rng)
+        E = len(src)
         dj = jnp.asarray(dst.astype(np.int32))
         plan = build_csr_plan(src, dst, N)
         perm = jnp.asarray(plan.perm)
@@ -117,9 +132,8 @@ def main():
     print(f"\n{'graph':>12} {'F':>4} {'xla sddmm':>10} {'plan':>10} "
           f"{'speedup':>8} {'edges/s':>12}")
     for name in args.graphs:
-        N, E = GRAPHS[name]
-        src = rng.integers(0, N, E)
-        dst = (N * (rng.random(E) ** 1.5)).astype(np.int64)
+        src, dst, N, name = graph_structure(name, rng)
+        E = len(src)
         ei = jnp.asarray(np.stack([src, dst]).astype(np.int32))
         plan = build_csr_plan(src, dst, N)
 
