@@ -184,6 +184,14 @@ class Graph(BaseGraph):
             nb = (num_src_blocks if num_src_blocks is not None
                   else self._auto_src_blocks())
             et = ET if ET is not None else (256 if nb > 1 else 512)
+            if not isinstance(self.edge_index, np.ndarray):
+                import warnings
+                warnings.warn(
+                    "csr_plan() on a device-resident edge_index forces a "
+                    "device->host fetch (minutes-slow through remote-TPU "
+                    "tunnels for lazily-placed arrays). Keep graphs numpy "
+                    "on host and device_put only the training inputs.",
+                    stacklevel=2)
             ei = np.asarray(self.edge_index)
             object.__setattr__(self, "_csr_plan", build_csr_plan_blocked(
                 ei[0], ei[1], self.num_nodes, R=R, ET=et,

@@ -1,16 +1,46 @@
-"""All-pairs shortest path by BFS (Graphormer precompute).
+"""All-pairs shortest path + padded spatial-encoding precompute
+(Graphormer).
 
-Reference: gammagl/utils/shortest_path.py. Host-side numpy; unreachable
-pairs get -1.
+Reference: gammagl/utils/shortest_path.py (networkx all-pairs BFS per
+graph, ragged dict output). Here the hot path is scipy's C BFS over a
+CSR adjacency, and `bucketed_spatial_encoding` emits the STATIC-shape
+padded batches the TPU needs: per-bucket (B, S, S) int32 distance
+tensors with clamped distances, so one jit specialization serves every
+graph that falls in the bucket (SURVEY.md §7 padding discipline; the
+reference never faces this because eager backends tolerate ragged
+shapes).
 """
 
 import numpy as np
 
-__all__ = ["shortest_path"]
+__all__ = ["shortest_path", "bucketed_spatial_encoding"]
 
 
 def shortest_path(edge_index, num_nodes, max_dist=None):
+    """Dense (N, N) hop-distance matrix; unreachable pairs get -1.
+
+    Uses scipy.sparse.csgraph (C BFS) when available — ~100x the pure
+    Python BFS at ogbg scales — with the original list-BFS fallback.
+    `max_dist` clips distances to [0, max_dist] (unreachable stays -1),
+    matching the spatial encoder's clamped embedding table.
+    """
     ei = np.asarray(edge_index)
+    try:
+        import scipy.sparse as sp
+        from scipy.sparse.csgraph import shortest_path as _sp
+        adj = sp.csr_matrix(
+            (np.ones(ei.shape[1], np.int8), (ei[0], ei[1])),
+            shape=(num_nodes, num_nodes))
+        dist = _sp(adj, method="D", unweighted=True, directed=True)
+        out = np.where(np.isinf(dist), -1, dist).astype(np.int64)
+    except ImportError:  # pragma: no cover - scipy is a baked-in dep
+        out = _bfs_python(ei, num_nodes)
+    if max_dist is not None:
+        out = np.where(out > max_dist, max_dist, out)
+    return out
+
+
+def _bfs_python(ei, num_nodes):
     adj = [[] for _ in range(num_nodes)]
     for s, d in ei.T:
         adj[s].append(int(d))
@@ -21,8 +51,6 @@ def shortest_path(edge_index, num_nodes, max_dist=None):
         d = 0
         while frontier:
             d += 1
-            if max_dist is not None and d > max_dist:
-                break
             nxt = []
             for u in frontier:
                 for v in adj[u]:
@@ -31,3 +59,44 @@ def shortest_path(edge_index, num_nodes, max_dist=None):
                         nxt.append(v)
             frontier = nxt
     return dist
+
+
+def bucketed_spatial_encoding(graphs, buckets=(16, 32, 64, 128),
+                              max_dist=8):
+    """Pad per-graph distance matrices into static-shape buckets.
+
+    Args:
+      graphs: iterable of objects with `edge_index` and `num_nodes`
+        (Graph pytrees or plain namespaces).
+      buckets: ascending node-count bucket sizes; each graph lands in
+        the smallest bucket that fits (larger graphs get their own
+        exact-size bucket, still padded to a multiple of 8 rows).
+      max_dist: distance clip for the spatial embedding table.
+
+    Returns dict: bucket_size -> {
+        "dist":  (B, S, S) int32, padding rows/cols = -1,
+        "mask":  (B, S) bool valid-node mask,
+        "index": list of positions of these graphs in `graphs`,
+    }. Unreachable and padded pairs share the -1 id — both map to the
+    Graphormer "no spatial relation" embedding row
+    (layers/attention/graphormer.py), so padding is exact under jit.
+    """
+    out = {}
+    for pos, g in enumerate(graphs):
+        n = int(g.num_nodes)
+        size = next((b for b in buckets if n <= b),
+                    -(-n // 8) * 8)
+        d = shortest_path(np.asarray(g.edge_index), n, max_dist=max_dist)
+        pad = np.full((size, size), -1, np.int32)
+        pad[:n, :n] = d
+        mask = np.zeros(size, bool)
+        mask[:n] = True
+        slot = out.setdefault(size, {"dist": [], "mask": [], "index": []})
+        slot["dist"].append(pad)
+        slot["mask"].append(mask)
+        slot["index"].append(pos)
+    return {
+        size: {"dist": np.stack(v["dist"]), "mask": np.stack(v["mask"]),
+               "index": v["index"]}
+        for size, v in out.items()
+    }

@@ -20,14 +20,20 @@ x = rng.normal(size=(n, 16)).astype(np.float32)
 y = np.repeat(np.arange(2), n_per).astype(np.int32)
 train_mask = rng.random(n) < 0.3
 
-g = Graph(x=jnp.asarray(x), edge_index=jnp.asarray(ei), num_nodes=n)
+# the Graph stays NUMPY on host: csr_plan is host-side work, and
+# fetching a lazily-placed device array back through the axon tunnel is
+# minutes-slow (round-2 finding; csr_plan warns on device arrays now)
+g = Graph(x=x, edge_index=ei, num_nodes=n)
 plan = g.csr_plan(R=64, ET=64)
 
 model = GATModel(hidden_dim=8, num_class=2, heads=4, drop_rate=0.4)
 params = model.init({"params": jax.random.PRNGKey(0)}, g.x, g.edge_index)
 opt = optax.adam(5e-3)
 st = opt.init(params)
-tm = jnp.asarray(train_mask)
+# closure constants MUST stay numpy: jit lowering embeds captured
+# device arrays as MLIR constants by FETCHING them back through the
+# tunnel (42s-to-minutes per compile; PERF_NOTES.md trap)
+tm = train_mask
 
 @jax.jit
 def step(params, st, key):
@@ -55,17 +61,19 @@ print(f"GAT fused-dropout: loss {first:.4f} -> {float(loss):.4f}, acc {acc:.4f}"
 assert float(loss) < first and acc > 0.85
 
 # --- HGT on a typed 2-community graph
-hx = {"paper": jnp.asarray(x), "author": jnp.asarray(
-    rng.normal(size=(80, 12)).astype(np.float32))}
+hx = {"paper": x,
+      "author": rng.normal(size=(80, 12)).astype(np.float32)}
 writes = np.stack([rng.integers(0, 80, 400),
                    rng.integers(0, n, 400)]).astype(np.int32)
-ei_dict = {("paper", "cites", "paper"): jnp.asarray(ei),
-           ("author", "writes", "paper"): jnp.asarray(writes)}
+ei_dict = {("paper", "cites", "paper"): ei,
+           ("author", "writes", "paper"): writes}
 meta = (["paper", "author"], list(ei_dict.keys()))
+# plan building is host-side: feed the NUMPY edges (see csr_plan note)
 hg = HeteroGraph()
-hg["paper"].x = hx["paper"]; hg["author"].x = hx["author"]
-for et, e in ei_dict.items():
-    hg[et].edge_index = e
+hg["paper"].x = x
+hg["author"].x = np.zeros((80, 12), np.float32)
+hg[("paper", "cites", "paper")].edge_index = ei
+hg[("author", "writes", "paper")].edge_index = writes
 plans = hg.csr_plans(R=64, ET=64)
 
 hmodel = HGTModel(metadata=meta, hidden_channels=16, num_class=2,

@@ -669,3 +669,75 @@ def test_custom_dataset(tmp_path):
     ds = CustomDataset(gs, root=str(tmp_path / "custom"))
     assert len(ds) == 3
     assert ds[1].x.shape == (4, 2)
+
+
+def _block_adj(sizes, blocks, rng):
+    """Global block adjacency in the IMDB/DBLP processed-zip layout."""
+    n = sum(sizes)
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    adj = np.zeros((n, n), np.float32)
+    for (i, j), m in blocks.items():
+        adj[offs[i]:offs[i + 1], offs[j]:offs[j + 1]] = m
+    return sp.csr_matrix(adj)
+
+
+def test_imdb_raw(tmp_path):
+    """Processed-zip layout of reference gammagl/datasets/imdb.py:
+    features_{0,1,2}.npz CSR per node type, labels.npy, split npz,
+    adjM.npz block adjacency in movie|director|actor order."""
+    from gammagl_tpu.datasets import IMDB
+    rng = np.random.default_rng(0)
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    sizes = [5, 3, 4]  # movie, director, actor
+    for i, sz in enumerate(sizes):
+        sp.save_npz(raw / f"features_{i}.npz",
+                    sp.csr_matrix(rng.random((sz, 6)).astype(np.float32)))
+    np.save(raw / "labels.npy", rng.integers(0, 3, sizes[0]))
+    np.savez(raw / "train_val_test_idx.npz",
+             train_idx=np.asarray([0, 1]), val_idx=np.asarray([2]),
+             test_idx=np.asarray([3, 4]))
+    md = (rng.random((5, 3)) < 0.6).astype(np.float32)
+    ma = (rng.random((5, 4)) < 0.6).astype(np.float32)
+    adj = _block_adj(sizes, {(0, 1): md, (1, 0): md.T,
+                             (0, 2): ma, (2, 0): ma.T}, rng)
+    sp.save_npz(raw / "adjM.npz", adj)
+    hg = IMDB(root=str(tmp_path))[0]
+    assert hg["movie"].x.shape == (5, 6)
+    assert hg["actor"].x.shape == (4, 6)
+    ei = np.asarray(hg[("movie", "to", "director")].edge_index)
+    assert ei.shape[0] == 2 and ei[0].max() < 5 and ei[1].max() < 3
+    assert int(md.sum()) == ei.shape[1]
+    # symmetric reverse edges present and local-id consistent
+    rev = np.asarray(hg[("director", "to", "movie")].edge_index)
+    assert rev.shape[1] == ei.shape[1]
+    assert np.asarray(hg["movie"].train_mask).sum() == 2
+    assert np.asarray(hg["movie"].test_mask).sum() == 2
+
+
+def test_dblp_raw(tmp_path):
+    """DBLP release: 3 featured types + featureless conference block
+    inferred from the adjacency tail (reference gammagl/datasets/dblp.py)."""
+    from gammagl_tpu.datasets import DBLP
+    rng = np.random.default_rng(1)
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    sizes = [4, 5, 3, 2]  # author, paper, term, conference(no feats)
+    for i, sz in enumerate(sizes[:3]):
+        sp.save_npz(raw / f"features_{i}.npz",
+                    sp.csr_matrix(rng.random((sz, 4)).astype(np.float32)))
+    np.save(raw / "labels.npy", rng.integers(0, 4, sizes[0]))
+    np.savez(raw / "train_val_test_idx.npz",
+             train_idx=np.asarray([0]), val_idx=np.asarray([1]),
+             test_idx=np.asarray([2, 3]))
+    ap = (rng.random((4, 5)) < 0.5).astype(np.float32)
+    pc = (rng.random((5, 2)) < 0.5).astype(np.float32)
+    adj = _block_adj(sizes, {(0, 1): ap, (1, 0): ap.T,
+                             (1, 3): pc, (3, 1): pc.T}, rng)
+    sp.save_npz(raw / "adjM.npz", adj)
+    hg = DBLP(root=str(tmp_path))[0]
+    assert hg["author"].x.shape == (4, 4)
+    assert hg["conference"].num_nodes == 2
+    ei = np.asarray(hg[("paper", "to", "conference")].edge_index)
+    assert ei.shape[1] == int(pc.sum()) and ei[1].max() < 2
+    assert np.asarray(hg["author"].y).shape == (4,)

@@ -49,3 +49,37 @@ def test_from_smiles_gated():
         return
     g = from_smiles("CCO")
     assert g.num_nodes == 3
+
+
+def test_shortest_path_scipy_matches_python_bfs():
+    from gammagl_tpu.utils.shortest_path import _bfs_python
+    rng = np.random.default_rng(0)
+    ei = rng.integers(0, 20, (2, 60))
+    d_fast = shortest_path(ei, 20)
+    d_ref = _bfs_python(ei, 20)
+    assert (d_fast == d_ref).all()
+    # max_dist clips reachable distances but keeps -1 for unreachable
+    d_clip = shortest_path(ei, 20, max_dist=2)
+    assert d_clip.max() <= 2
+    assert ((d_clip == -1) == (d_ref == -1)).all()
+
+
+def test_bucketed_spatial_encoding():
+    from types import SimpleNamespace
+    from gammagl_tpu.utils.shortest_path import bucketed_spatial_encoding
+    rng = np.random.default_rng(1)
+    graphs = []
+    for n in (5, 12, 20, 70):
+        ei = rng.integers(0, n, (2, 3 * n))
+        graphs.append(SimpleNamespace(edge_index=ei, num_nodes=n))
+    out = bucketed_spatial_encoding(graphs, buckets=(16, 32), max_dist=4)
+    # 5 and 12 share the 16-bucket; 20 -> 32; 70 -> own 8-multiple
+    assert sorted(out) == [16, 32, 72]
+    b16 = out[16]
+    assert b16["dist"].shape == (2, 16, 16) and b16["index"] == [0, 1]
+    assert b16["mask"][0].sum() == 5
+    # padded rows are exactly the no-relation id
+    assert (b16["dist"][0][5:, :] == -1).all()
+    assert out[32]["dist"].dtype == np.int32
+    d = shortest_path(graphs[2].edge_index, 20, max_dist=4)
+    assert (out[32]["dist"][0][:20, :20] == d).all()
