@@ -108,26 +108,31 @@ def build_csr_plan(src, dst, num_nodes, num_src=None, R=256, ET=512):
         dst_s, np.arange(0, _cdiv(num_nodes, R) * R + 1, R), side="left")
     nblocks = len(block_edges) - 1
 
-    perm_parts, src_parts, lr_parts = [], [], []
-    tile_block, tile_first = [], []
-    for b in range(nblocks):
-        lo, hi = int(block_edges[b]), int(block_edges[b + 1])
-        e_b = hi - lo
-        n_t = max(1, _cdiv(e_b, ET))
-        pad = n_t * ET - e_b
-        perm_parts.append(order[lo:hi])
-        perm_parts.append(np.full(pad, E, dtype=np.int64))
-        src_parts.append(src_s[lo:hi])
-        src_parts.append(np.zeros(pad, dtype=np.int64))
-        lr_parts.append(dst_s[lo:hi] - b * R)
-        lr_parts.append(np.full(pad, R, dtype=np.int64))
-        tile_block.extend([b] * n_t)
-        tile_first.extend([1] + [0] * (n_t - 1))
+    # Fully vectorized layout (the per-block Python loop was the host
+    # bottleneck at papers100M scale: ~15 min for a 57M-edge plan; this
+    # path builds the same arrays in seconds).
+    e_b = np.diff(block_edges)                      # edges per row block
+    n_t = np.maximum(1, -(-e_b // ET))              # tiles per row block
+    pad_len = n_t * ET                              # padded edges/block
+    pad_off = np.concatenate([[0], np.cumsum(pad_len)])
+    total = int(pad_off[-1])
+    # destination slot of every real (sorted) edge in the padded layout
+    blk_of = np.minimum(dst_s // R, nblocks - 1).astype(np.int64)
+    idx_in_blk = np.arange(E, dtype=np.int64) - block_edges[blk_of]
+    pos = pad_off[blk_of] + idx_in_blk
+    perm = np.full(total, E, dtype=np.int64)
+    src_pad = np.zeros(total, dtype=np.int64)
+    local_row = np.full(total, R, dtype=np.int64)
+    perm[pos] = order
+    src_pad[pos] = src_s
+    local_row[pos] = dst_s - blk_of * R
+    tile_block = np.repeat(np.arange(nblocks, dtype=np.int32), n_t)
+    tile_first = np.zeros(len(tile_block), dtype=np.int64)
+    tile_first[np.concatenate([[0], np.cumsum(n_t)[:-1]])] = 1
 
-    local_row = np.concatenate(lr_parts).astype(np.int32)
-    perm = np.concatenate(perm_parts).astype(np.int32)
-    src_pad = np.concatenate(src_parts).astype(np.int32)
-    tile_block = np.asarray(tile_block, dtype=np.int32)
+    local_row = local_row.astype(np.int32)
+    perm = perm.astype(np.int32)
+    src_pad = src_pad.astype(np.int32)
     # Global destination row per padded edge (pads land out of range).
     blk_of_edge = np.repeat(tile_block, ET)
     row_global = (blk_of_edge * R + local_row).astype(np.int32)

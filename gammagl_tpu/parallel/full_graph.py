@@ -52,21 +52,34 @@ __all__ = ["pad_nodes", "shard_nodes", "sign_precompute",
            "estimate_hbm_gb"]
 
 
-def _make_spmm(mesh, part, axis):
+def _make_spmm(mesh, part, axis, as_args=False):
     """Halo SpMM tier by partition type: flat ICI (`HaloPartition`),
     two-level ICI+DCN (`HierHaloPartition`), or overlapped Pallas-kernel
     (`PlannedHaloPartition`, 3.9x the flat tier per chip at arxiv scale
     bf16 — build with `build_halo_partition_planned`). All recipes below
-    work unchanged on any tier."""
+    work unchanged on any tier.
+
+    With ``as_args=True`` returns ``(spmm, consts)`` where
+    ``spmm(x, consts)`` and ``consts`` is a device-resident pytree to
+    thread through the enclosing jit (empty dict for tiers that still
+    embed their layout as literals). Required for planned partitions
+    beyond a few million edges (see make_halo_spmm_planned)."""
     if isinstance(part, (HierHaloPartition, PlannedHierHaloPartition)):
         axes = tuple(axis) if isinstance(axis, (tuple, list)) \
             else ("slice", "dp")
         if isinstance(part, PlannedHierHaloPartition):
-            return make_hier_halo_spmm_planned(mesh, part, axes)
-        return make_hier_halo_spmm(mesh, part, axes)
-    if isinstance(part, PlannedHaloPartition):
-        return make_halo_spmm_planned(mesh, part, axis)
-    return make_halo_spmm(mesh, part, axis)
+            fn = make_hier_halo_spmm_planned(mesh, part, axes)
+        else:
+            fn = make_hier_halo_spmm(mesh, part, axes)
+    elif isinstance(part, PlannedHaloPartition):
+        if as_args:
+            return make_halo_spmm_planned(mesh, part, axis, as_args=True)
+        fn = make_halo_spmm_planned(mesh, part, axis)
+    else:
+        fn = make_halo_spmm(mesh, part, axis)
+    if as_args:
+        return (lambda x, cd: fn(x)), {}
+    return fn
 
 
 def pad_nodes(arr, part, fill=0):
@@ -97,11 +110,12 @@ def sign_precompute(mesh, part, x_sharded, num_hops,
     gammagl/transforms/sign.py:7, which materializes dense scipy powers —
     impossible at papers100M; here each sweep is one all_to_all + local
     segment-sum, and the graph can be dropped afterwards)."""
-    spmm = jax.jit(_make_spmm(mesh, part, axis))
+    spmm, consts = _make_spmm(mesh, part, axis, as_args=True)
+    spmm = jax.jit(spmm)
     ops = [x_sharded.astype(store_dtype)]
     h = x_sharded
     for _ in range(num_hops):
-        h = spmm(h)
+        h = spmm(h, consts)
         ops.append(h.astype(store_dtype))
     return ops
 
@@ -125,7 +139,7 @@ def make_partitioned_gcn_train(mesh, part, feat_dim,
     sharded P(axis) (mask is 0 on pads and non-train rows). Params are
     replicated f32; activations run in `compute_dtype`.
     """
-    spmm = _make_spmm(mesh, part, axis)
+    spmm, spmm_consts = _make_spmm(mesh, part, axis, as_args=True)
     rng = np.random.default_rng(seed)
     dims = [feat_dim] + [hidden_dim] * (num_layers - 1) + [num_classes]
     params = {f"w{i}": _glorot(rng, dims[i], dims[i + 1])
@@ -141,10 +155,10 @@ def make_partitioned_gcn_train(mesh, part, feat_dim,
     opt_state = jax.device_put(opt.init(params),
                                NamedSharding(mesh, P()))
 
-    def layer(p, i, h):
+    def layer(p, i, h, cd):
         # halo traffic rides in compute_dtype; the f32 edge weights make
         # the segment accumulation f32 — cast back down for the matmul
-        h = spmm(h).astype(compute_dtype)
+        h = spmm(h, cd).astype(compute_dtype)
         w = p[f"w{i}"].astype(compute_dtype)
         b = p[f"b{i}"].astype(compute_dtype)
         return h @ w + b
@@ -152,27 +166,36 @@ def make_partitioned_gcn_train(mesh, part, feat_dim,
     if remat:
         layer = jax.checkpoint(layer, static_argnums=(1,))
 
-    def forward(p, x):
+    def forward(p, x, cd):
         h = x.astype(compute_dtype)
         for i in range(num_layers):
-            h = layer(p, i, h)
+            h = layer(p, i, h, cd)
             if i < num_layers - 1:
                 h = jax.nn.relu(h)
         return h.astype(jnp.float32)  # logits f32 for the loss
 
-    def loss_fn(p, x, y, mask):
-        logits = forward(p, x)
+    def loss_fn(p, x, y, mask, cd):
+        logits = forward(p, x, cd)
         ls = optax.softmax_cross_entropy_with_integer_labels(logits, y)
         m = mask.astype(jnp.float32)
         return (ls * m).sum() / jnp.maximum(m.sum(), 1.0)
 
+    # the plan buffers (spmm_consts) cross the jit boundary as ARGUMENTS;
+    # the public step/eval signatures stay unchanged via the wrappers
     @jax.jit
-    def train_step(p, opt_state, x, y, mask):
-        loss, grads = jax.value_and_grad(loss_fn)(p, x, y, mask)
+    def _train_step(p, opt_state, x, y, mask, cd):
+        loss, grads = jax.value_and_grad(loss_fn)(p, x, y, mask, cd)
         updates, opt_state = opt.update(grads, opt_state, p)
         return optax.apply_updates(p, updates), opt_state, loss
 
-    eval_logits = jax.jit(forward)
+    def train_step(p, opt_state, x, y, mask):
+        return _train_step(p, opt_state, x, y, mask, spmm_consts)
+
+    _eval = jax.jit(forward)
+
+    def eval_logits(p, x):
+        return _eval(p, x, spmm_consts)
+
     return params, opt_state, train_step, eval_logits
 
 

@@ -31,7 +31,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gammagl_tpu.ops import segment_sum
 from gammagl_tpu.ops.pallas.segment_matmul import (build_csr_plan,
@@ -222,7 +222,7 @@ def _permute_w(w, plan):
 
 def make_halo_spmm_planned(mesh: Mesh, part: PlannedHaloPartition,
                            axis: str = "dp", kernel: bool = True,
-                           interpret: bool = False):
+                           interpret: bool = False, as_args: bool = False):
     """Jit-able overlapped halo SpMM: x (P*rows_per, F) sharded -> same.
 
     Per device: start the halo `all_to_all`, aggregate interior edges from
@@ -230,7 +230,94 @@ def make_halo_spmm_planned(mesh: Mesh, part: PlannedHaloPartition,
     edges from the received table and add. `kernel=False` keeps the same
     overlap structure on the XLA scatter path (for comparison and for
     dtypes the kernel does not carry).
+
+    With ``as_args=True`` returns ``(spmm, consts)`` where the layout
+    buffers live on device and must be threaded through the caller's jit
+    boundary: ``spmm(x, consts)``. Use this for partitions beyond a few
+    million edges — embedded-literal programs scale O(E) in bytes and
+    break remote compilation (HTTP 413) at papers100M shard scale.
     """
+    fn, consts = _planned_spmm_callable(mesh, part, axis, kernel,
+                                        interpret)
+    has_t = part.transpose is not None
+    if has_t:
+        fn_t, consts_t = _planned_spmm_callable(
+            mesh, part.transpose._replace(transpose=None), axis, kernel,
+            interpret)
+
+    if as_args:
+        # Plan buffers become DEVICE-RESIDENT JIT ARGUMENTS instead of
+        # HLO literals. Embedding is O(E) program bytes: at papers100M
+        # shard scale (50M+ edges, ~400 MB of layout constants) the
+        # serialized program exceeds remote-compile request limits
+        # (observed HTTP 413) and constant-folding passes dominate
+        # compile time. Returns (spmm, consts): call spmm(x, consts)
+        # inside jit, passing consts through the jit boundary.
+        def put(cs):
+            return tuple(jax.device_put(
+                jnp.asarray(c), NamedSharding(mesh, P(axis)))
+                for c in cs)
+        consts_dev = {"fwd": put(consts),
+                      "bwd": put(consts_t) if has_t else ()}
+        if not has_t:
+            return (lambda x, cd: fn(x, *cd["fwd"])), consts_dev
+
+        @jax.custom_vjp
+        def spmm_a(x, cd):
+            return fn(x, *cd["fwd"])
+
+        def _fwd_a(x, cd):
+            return fn(x, *cd["fwd"]), cd
+
+        def _bwd_a(cd, g):
+            return fn_t(g, *cd["bwd"]), _zero_cotangents(cd)
+
+        spmm_a.defvjp(_fwd_a, _bwd_a)
+        return spmm_a, consts_dev
+
+    def run(x_sharded):
+        return fn(x_sharded, *consts)
+
+    if not has_t:
+        return run
+
+    # Kernel-backed backward: the SpMM is linear in x with static
+    # weights, so dx = A^T g is the planned halo SpMM of the reversed
+    # graph -- autodiff's alternative is the transpose of `take` (an XLA
+    # scatter-add over E_pad rows) plus a reversed all_to_all, which
+    # dominates the train step (measured ~2x whole-epoch win at
+    # papers100M synthetic scale).
+    @jax.custom_vjp
+    def spmm(x):
+        return run(x)
+
+    def _fwd(x):
+        return run(x), None
+
+    def _bwd(_, g):
+        return (fn_t(g, *consts_t),)
+
+    spmm.defvjp(_fwd, _bwd)
+    return spmm
+
+
+def _zero_cotangents(tree):
+    """Cotangents for non-differentiable plan buffers (float0 for ints)."""
+    import jax.dtypes as _dt
+    return jax.tree_util.tree_map(
+        lambda a: np.zeros(a.shape, _dt.float0)
+        if not jnp.issubdtype(a.dtype, jnp.inexact)
+        else jnp.zeros_like(a), tree)
+
+
+def _planned_spmm_callable(mesh, part, axis, kernel, interpret):
+    """shard_map halo-SpMM callable + its numpy layout buffers.
+
+    Returns (fn, consts) with fn(x_sharded, *consts) -> x-like. The
+    caller decides how consts cross the jit boundary: embedded as
+    literals (fine for <~5M-edge partitions) or device_put once and
+    passed as arguments (required at papers100M scale; see
+    make_halo_spmm_planned(as_args=True))."""
     rows_per, H, nparts = part.rows_per, part.halo_per_peer, part.num_parts
     R, ET, nblocks = part.R, part.ET, part.nblocks
 
@@ -283,45 +370,16 @@ def make_halo_spmm_planned(mesh: Mesh, part: PlannedHaloPartition,
         msg_bd = jnp.take(table, bd_src[0], axis=0, mode="clip")
         return out + _agg(msg_bd, bd_w[0], bd_lr[0], bd_tb[0], bd_tf[0])
 
-    # KEEP the layout constants as numpy: closed-over device arrays are
-    # fetched back host-side at lowering time to embed as MLIR constants —
-    # through the remote-TPU tunnel that round trip is pathologically slow
-    # (observed 40+s for ~1 MB). Numpy closures embed directly.
+    # Layout constants stay numpy here; the caller chooses embed-vs-args
+    # (closed-over DEVICE arrays are never acceptable: lowering fetches
+    # them back through the tunnel to embed as MLIR constants).
     consts = [np.asarray(part.send_idx)]
     for blk in in_blocks:
         consts.extend(np.asarray(a) for a in blk)
     consts.extend(np.asarray(a) for a in
                   (part.bd_src, part.bd_w, part.bd_lr, part.bd_tb,
                    part.bd_tf))
-
-    def run(x_sharded):
-        return _spmm(x_sharded, *consts)
-
-    if part.transpose is None:
-        return run
-
-    # Kernel-backed backward: the SpMM is linear in x with static weights,
-    # so dx = A^T g is the planned halo SpMM of the reversed graph --
-    # autodiff's alternative is the transpose of `take` (an XLA
-    # scatter-add over E_pad rows) plus a reversed all_to_all, which
-    # dominates the train step (measured ~2x whole-epoch win at papers100M
-    # synthetic scale).
-    run_t = make_halo_spmm_planned(
-        mesh, part.transpose._replace(transpose=None), axis=axis,
-        kernel=kernel, interpret=interpret)
-
-    @jax.custom_vjp
-    def spmm(x):
-        return run(x)
-
-    def _fwd(x):
-        return run(x), None
-
-    def _bwd(_, g):
-        return (run_t(g),)
-
-    spmm.defvjp(_fwd, _bwd)
-    return spmm
+    return _spmm, consts
 
 
 class PlannedHierHaloPartition(NamedTuple):

@@ -107,14 +107,19 @@ def main():
     print(f"partition ({'planned' if planned else 'flat'}): "
           f"{time.perf_counter() - t0:.1f}s", flush=True)
 
+    t0 = time.perf_counter()
     xs = shard_nodes(x, mesh, part, dtype=np.float32)
     ys = shard_nodes(y, mesh, part)
     ms = shard_nodes(train.astype(np.float32), mesh, part)
+    jax.block_until_ready((xs, ys, ms))
+    gb = xs.nbytes / 1e9
+    dt = time.perf_counter() - t0
+    print(f"transfer: {gb:.2f} GB in {dt:.1f}s "
+          f"({gb / dt * 1e3:.0f} MB/s)", flush=True)
     del x
     params, opt_state, step, eval_logits = make_partitioned_gcn_train(
         mesh, part, f, args.hidden, c, num_layers=args.layers,
         compute_dtype=jnp.bfloat16, remat=True, learning_rate=1e-2)
-
     times = []
     for epoch in range(args.epochs):
         t = time.perf_counter()

@@ -189,3 +189,43 @@ def test_spmm_csr_vjp_zero_edge_plan():
     np.testing.assert_allclose(np.asarray(out), 0.0)
     g = jax.grad(lambda x: (spmm_csr(x, w, plan) ** 2).sum())(x)
     np.testing.assert_allclose(np.asarray(g), 0.0)
+
+
+def test_build_csr_plan_matches_loop_reference():
+    """The vectorized plan layout must equal the original per-block loop
+    (which is re-implemented here as the reference)."""
+    import numpy as np
+    from gammagl_tpu.ops.pallas import build_csr_plan
+
+    def loop_reference(src, dst, num_nodes, R, ET):
+        E = len(dst)
+        order = np.argsort(dst, kind="stable")
+        src_s, dst_s = src[order], dst[order]
+        block_edges = np.searchsorted(
+            dst_s, np.arange(0, -(-num_nodes // R) * R + 1, R), "left")
+        nblocks = len(block_edges) - 1
+        perm_p, src_p, lr_p, tb, tf = [], [], [], [], []
+        for b in range(nblocks):
+            lo, hi = int(block_edges[b]), int(block_edges[b + 1])
+            n_t = max(1, -(-(hi - lo) // ET))
+            pad = n_t * ET - (hi - lo)
+            perm_p += [order[lo:hi], np.full(pad, E, np.int64)]
+            src_p += [src_s[lo:hi], np.zeros(pad, np.int64)]
+            lr_p += [dst_s[lo:hi] - b * R, np.full(pad, R, np.int64)]
+            tb += [b] * n_t
+            tf += [1] + [0] * (n_t - 1)
+        return (np.concatenate(perm_p), np.concatenate(src_p),
+                np.concatenate(lr_p), np.asarray(tb), np.asarray(tf))
+
+    rng = np.random.default_rng(3)
+    for n, e, R, ET in [(40, 200, 8, 16), (100, 30, 16, 8),
+                        (64, 0, 8, 8), (257, 1000, 32, 64)]:
+        src = rng.integers(0, n, e)
+        dst = rng.integers(0, n, e)
+        plan = build_csr_plan(src, dst, n, R=R, ET=ET)
+        perm, sp, lr, tb, tf = loop_reference(src, dst, n, R, ET)
+        assert (plan.perm == perm).all()
+        assert (plan.src_pad == sp).all()
+        assert (plan.local_row == lr).all()
+        assert (plan.tile_block == tb).all()
+        assert (plan.tile_first == tf).all()

@@ -200,3 +200,31 @@ def test_src_blocked_interior_matches():
     refg = 2 * a.T @ (a @ x.astype(np.float64))
     np.testing.assert_allclose(np.asarray(g).reshape(total, -1)[:n], refg,
                                rtol=2e-3, atol=2e-3)
+
+
+def test_planned_as_args_matches_embed_and_grad():
+    """as_args mode (device-resident plan buffers threaded through the
+    jit boundary) must match embed mode in value AND gradient — the mode
+    exists because embedded literals scale O(E) in program bytes and
+    break remote compilation at papers100M shard scale (HTTP 413)."""
+    n, ndev = 200, 4
+    ei, w, x = _graph(n)
+    mesh = _mesh(ndev)
+    part = build_halo_partition_planned(ei, n, ndev, w, R=16, ET=128)
+    total = part.num_parts * part.rows_per
+    xs = jax.device_put(jnp.asarray(np.pad(x, ((0, total - n), (0, 0)))),
+                        NamedSharding(mesh, P("dp")))
+
+    spmm_e = make_halo_spmm_planned(mesh, part, kernel=True)
+    spmm_a, consts = make_halo_spmm_planned(mesh, part, kernel=True,
+                                            as_args=True)
+    out_e = jax.jit(spmm_e)(xs)
+    out_a = jax.jit(spmm_a)(xs, consts)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_e),
+                               rtol=1e-6, atol=1e-6)
+
+    ge = jax.jit(jax.grad(lambda v: (spmm_e(v) ** 2).sum()))(xs)
+    ga = jax.jit(jax.grad(
+        lambda v, cd: (spmm_a(v, cd) ** 2).sum()))(xs, consts)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ge),
+                               rtol=1e-5, atol=1e-5)
