@@ -83,6 +83,14 @@ class PlannedHaloPartition(NamedTuple):
     # runs as one more planned halo SpMM instead of an XLA scatter-add
     # (the distributed analog of spmm_csr's _swap_plan backward).
     transpose: object = None
+    # Per-block source row spans ((lo, hi) each, one per interior block);
+    # () = uniform spans. Edge-balanced spans cap the per-block
+    # gathered-message footprint on power-law graphs, where uniform
+    # spans put most edges in the hub block (observed 10.3 GB
+    # single-block msg = OOM at papers100M shard scale); blocks whose
+    # edge mass still exceeds the cap (a single hub ROW can) are split
+    # into several plans SHARING a span.
+    src_spans: tuple = ()
 
     @property
     def nblocks(self):
@@ -153,7 +161,11 @@ def build_halo_partition_planned(edge_index, num_nodes, num_parts,
     R = min(R, _round8(rows_per))
     nblocks = -(-rows_per // R)
     B = max(1, int(num_src_blocks))
-    rows_blk = -(-rows_per // B)
+    spans, span_chunks, cap = _src_block_spans(part_edges, num_parts,
+                                               rows_per, B)
+    blocks = [(lo, hi, k) for (lo, hi), K in zip(spans, span_chunks)
+              for k in range(K)]
+    B = len(blocks)
 
     in_plans, in_w, bd_plans, bd_w = [[] for _ in range(B)], \
         [[] for _ in range(B)], [], []
@@ -165,17 +177,24 @@ def build_halo_partition_planned(edge_index, num_nodes, num_parts,
         src_own = sub[0][own] - p * rows_per
         dst_own = dst_local[own]
         w_own = sub_w[own]
-        blk = np.minimum(src_own // rows_blk, B - 1)
-        for b in range(B):
-            m = blk == b
-            # block-LOCAL src ids: the kernel gathers from a sliced
-            # source (the gather engine's rate is set by the source
-            # ARRAY size, not the touched span — measured 600k-row
-            # source: 122 Mrows/s vs 214 for a 150k-row slice)
-            plan_i = build_csr_plan(src_own[m] - b * rows_blk, dst_own[m],
-                                    rows_per, num_src=rows_blk, R=R, ET=ET)
-            in_plans[b].append(plan_i)
-            in_w[b].append(_permute_w(w_own[m], plan_i))
+        lows = np.asarray([lo for lo, _ in spans])
+        span_of = np.searchsorted(lows, src_own, side="right") - 1
+        b = 0
+        for s, ((lo, hi), K) in enumerate(zip(spans, span_chunks)):
+            idx = np.nonzero(span_of == s)[0]
+            sz = -(-len(idx) // K)
+            for k in range(K):
+                part_idx = idx[k * sz:(k + 1) * sz]
+                # block-LOCAL src ids: the kernel gathers from a sliced
+                # source (the gather engine's rate is set by the source
+                # ARRAY size, not the touched span — measured 600k-row
+                # source: 122 Mrows/s vs 214 for a 150k-row slice)
+                plan_i = build_csr_plan(
+                    src_own[part_idx] - lo, dst_own[part_idx], rows_per,
+                    num_src=hi - lo, R=R, ET=ET)
+                in_plans[b].append(plan_i)
+                in_w[b].append(_permute_w(w_own[part_idx], plan_i))
+                b += 1
 
         # boundary: src indexes the received halo table [q*H + pos]
         bsel = ~own
@@ -203,7 +222,63 @@ def build_halo_partition_planned(edge_index, num_nodes, num_parts,
         in_tb=in_tb, in_tf=in_tf, bd_src=bd_src, bd_w=bd_ws, bd_lr=bd_lr,
         bd_tb=bd_tb, bd_tf=bd_tf, num_parts=num_parts, rows_per=rows_per,
         halo_per_peer=H, num_nodes=num_nodes, R=R, ET=ET,
-        in_extra=tuple(in_stacks[1:]))
+        in_extra=tuple(in_stacks[1:]),
+        src_spans=tuple((int(lo), int(hi)) for lo, hi, _ in blocks))
+
+
+def _src_block_spans(part_edges, num_parts, rows_per, B):
+    """Source-block row spans balancing BOTH constraints:
+
+    - footprint: row span per block <= ceil(rows_per / B) (the ~90 MB
+      gather-regime cap that motivated src blocking), via the uniform
+      grid;
+    - edge mass: interior edges per block <= ~total/B. Row boundaries
+      come from quantiles of the global local-src-row edge histogram; a
+      span whose mass STILL exceeds the cap (a single hub row can, on
+      power-law graphs) is split into several chunk plans sharing the
+      span. Uniform spans alone put most edges in the hub block, whose
+      gathered (E_blk, F) message then dominates HBM (10.3 GB observed
+      at papers100M shard scale).
+
+    Returns (spans, chunks_per_span, cap): spans are (lo, hi) row pairs
+    shared across devices (multiple-of-8 rows).
+    """
+    if B <= 1 or rows_per <= 8:
+        return [(0, rows_per)], [1], None
+    hist = np.zeros(rows_per, np.int64)
+    for p in range(num_parts):
+        sub, _, src_owner = part_edges[p]
+        own = src_owner == p
+        if own.any():
+            hist += np.bincount(sub[0][own] - p * rows_per,
+                                minlength=rows_per)[:rows_per]
+    cum = np.cumsum(hist)
+    total = int(cum[-1])
+    if total == 0:
+        edge_bounds = np.empty(0, np.int64)
+    else:
+        targets = total * np.arange(1, B) / B
+        edge_bounds = np.searchsorted(cum, targets)
+    rows_blk = -(-rows_per // B)
+    grid = np.arange(rows_blk, rows_per, rows_blk)
+    bounds = np.union1d(edge_bounds, grid)
+    bounds = np.unique(np.clip((bounds // 8) * 8, 0, rows_per))
+    bounds = bounds[(bounds > 0) & (bounds < rows_per)]
+    bounds = [0] + bounds.tolist() + [rows_per]
+    spans = list(zip(bounds[:-1], bounds[1:]))
+    cap = max(1, -(-total // B))
+    # worst-case per-DEVICE mass decides the chunk count (plans stack
+    # per device; every device gets the same number of chunk plans)
+    chunks = []
+    for lo, hi in spans:
+        worst = 0
+        for p in range(num_parts):
+            sub, _, src_owner = part_edges[p]
+            own = src_owner == p
+            s = sub[0][own] - p * rows_per
+            worst = max(worst, int(((s >= lo) & (s < hi)).sum()))
+        chunks.append(max(1, -(-worst // cap)))
+    return spans, chunks, cap
 
 
 def _round8(x):
@@ -352,13 +427,14 @@ def _planned_spmm_callable(mesh, part, axis, kernel, interpret):
         # the partial sums alone does not order the gathers themselves,
         # and two concurrent gathers run at < half the speed of one.
         rows_blk = -(-rows_per // nb)
+        spans = part.src_spans or tuple(
+            (b * rows_blk, min((b + 1) * rows_blk, rows_per))
+            for b in range(nb))
         out = None
         x_dep = x_blk
         for b in range(nb):
             src, w, lr, tb, tf = rest[5 * b:5 * b + 5]
-            lo = b * rows_blk
-            x_b = jax.lax.slice_in_dim(x_dep, lo,
-                                       min(lo + rows_blk, rows_per)) \
+            x_b = jax.lax.slice_in_dim(x_dep, spans[b][0], spans[b][1]) \
                 if nb > 1 else x_dep
             msg = jnp.take(x_b, src[0], axis=0, mode="clip")
             part_sum = _agg(msg, w[0], lr[0], tb[0], tf[0])

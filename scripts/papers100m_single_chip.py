@@ -64,6 +64,10 @@ def main():
     ap.add_argument("--scale", type=float, default=None,
                     help="override the HBM-solved shard scale")
     ap.add_argument("--out", default="PAPERS100M_r02.json")
+    ap.add_argument("--R", type=int, default=1024,
+                    help="kernel row-block size; large shards want a big "
+                    "R to cut the >=1-tile-per-row-block floor across "
+                    "the many src-block plans")
     ap.add_argument("--xla-spmm", action="store_true",
                     help="flat XLA tier instead of planned Pallas")
     args = ap.parse_args()
@@ -100,7 +104,7 @@ def main():
     planned = not args.xla_spmm and jax.default_backend() == "tpu"
     if planned:
         nsb = auto_src_blocks(n, max(f, args.hidden), jnp.bfloat16)
-        part = build_halo_partition_planned(ei, n, 1, w,
+        part = build_halo_partition_planned(ei, n, 1, w, R=args.R,
                                             num_src_blocks=nsb)
     else:
         part = build_halo_partition(ei, n, 1, w)
