@@ -91,11 +91,11 @@ def bench_spmm(dtype=jnp.bfloat16, F=256):
 
 def bench_sddmm(dtype=jnp.bfloat16, F=256):
     """Per-edge score dots (the attention-score primitive; BASELINE's
-    'SpMM/SDDMM edges/sec/chip' second half). Plan-order chained gathers
-    (PERF_NOTES: two independent gathers in one program halve each
-    other's rate — serialize via a data dependency)."""
-    from gammagl_tpu.ops.pallas import (build_csr_plan, plan_gather_dst,
-                                        plan_gather_src)
+    'SpMM/SDDMM edges/sec/chip' second half). ONE src gather + the Pallas
+    dst-block dot kernel: the dst side streams as dense (R, F) blocks on
+    the MXU instead of a second 2.3M-row gather (the gather engine is the
+    wall — PERF_NOTES 'gather wall')."""
+    from gammagl_tpu.ops.pallas import build_csr_plan, sddmm_csr
 
     N, E = 169_343, 2_315_598
     rng = np.random.default_rng(1)
@@ -105,9 +105,7 @@ def bench_sddmm(dtype=jnp.bfloat16, F=256):
     x0 = jnp.asarray(rng.normal(size=(N, F)), dtype)
 
     def step(x):
-        ga = plan_gather_src(x, plan)
-        gb = plan_gather_dst(x + 0 * ga[:1, :1], plan)
-        s = jnp.sum((ga * gb).astype(jnp.float32), axis=-1)
+        s = sddmm_csr(x, x, plan)
         # fold the per-edge scores back to node width so the chain's
         # state keeps the (N, F) shape and dtype for the next step
         return (x + jnp.mean(s) * 0).astype(x.dtype)
@@ -118,7 +116,9 @@ def bench_sddmm(dtype=jnp.bfloat16, F=256):
 def bench_fused_gat(dtype=jnp.bfloat16, F=64):
     """Fused edge-softmax attention (score + online softmax + weighted
     aggregate in one Pallas pass; reference decomposes this across
-    segment_softmax + SpMM)."""
+    segment_softmax + SpMM). ONE gather per step: the per-edge source
+    score rides the feature gather as an extra column (the conv-zoo
+    GATConv plan path does exactly this)."""
     from gammagl_tpu.ops.pallas import (build_csr_plan,
                                         flash_edge_attention,
                                         plan_gather_src)
@@ -132,13 +132,54 @@ def bench_fused_gat(dtype=jnp.bfloat16, F=64):
     a_d = jnp.asarray(rng.normal(size=(N,)), jnp.float32)
 
     def step(x):
-        msg = plan_gather_src(x, plan)
-        s_src = plan_gather_src(
-            jnp.sum(x.astype(jnp.float32), 1), plan)
-        out = flash_edge_attention(s_src, a_d, msg, plan, 0.2)
+        packed = jnp.concatenate(
+            [x, jnp.sum(x.astype(jnp.float32), 1, keepdims=True
+                        ).astype(x.dtype)], axis=1)
+        g = plan_gather_src(packed, plan)
+        out = flash_edge_attention(g[:, F].astype(jnp.float32), a_d,
+                                   g[:, :F], plan, 0.2)
         return out.astype(x.dtype)
     t = _chain_time(step, x0)
     return E / t
+
+
+def _previous_round():
+    """Newest BENCH_r*.json next to this file (driver artifacts), parsed
+    to the metric dict — so every bench run prints r-over-r deltas and a
+    >5% regression never ships silently."""
+    import glob
+    import os
+    import re
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as f:
+                doc = json.load(f)
+            prev = doc.get("parsed") or json.loads(
+                doc["tail"].strip().splitlines()[-1])
+        except Exception:
+            continue
+        if int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), prev
+    return best, best_n
+
+
+def _deltas(result, prev):
+    keys = ["value", "sddmm_edges_per_s", "fused_gat_edges_per_s"]
+    names = {"value": "spmm"}
+    out, regressions = {}, []
+    for k in keys:
+        if prev and k in prev and prev[k]:
+            d = 100.0 * (result[k] - prev[k]) / prev[k]
+            name = names.get(k, k.replace("_edges_per_s", ""))
+            out[name] = round(d, 1)
+            if d < -5.0:
+                regressions.append(name)
+    return out, regressions
 
 
 def main():
@@ -157,7 +198,7 @@ def main():
     bytes_moved = (E + N) * F * itemsize
     t_sol_hbm = bytes_moved / 819e9
     t_gather_wall = E / 222e6
-    print(json.dumps({
+    result = {
         "metric": "spmm_edges_per_s",
         "value": round(edges_per_s),
         "unit": "edges/s",
@@ -167,7 +208,14 @@ def main():
         "sddmm_edges_per_s": round(sddmm_eps),
         "fused_gat_edges_per_s": round(gat_eps),
         "protocol": "arxiv-scale 169343n/2315598e bf16 F=256 (GAT F=64)",
-    }))
+    }
+    prev, prev_n = _previous_round()
+    if prev is not None:
+        deltas, regressions = _deltas(result, prev)
+        result["delta_vs_r%02d_pct" % prev_n] = deltas
+        if regressions:
+            result["REGRESSION_GT_5PCT"] = regressions
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -102,12 +102,14 @@ def main():
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--rcm", action="store_true",
                     help="RCM reorder to shrink halos")
-    ap.add_argument("--balance", action="store_true",
-                    help="degree-balanced owner blocks "
-                         "(parallel.balance_permutation): equalizes "
+    ap.add_argument("--no-balance", action="store_true",
+                    help="disable the default degree-balanced owner "
+                         "blocks (parallel.balance_permutation). The "
+                         "balanced relabeling is applied INSIDE the "
+                         "partition builders by default — it equalizes "
                          "edges/device on power-law graphs (2x padded-"
-                         "edge inflation observed at arxiv scale "
-                         "without it)")
+                         "edge inflation at arxiv scale without it, "
+                         "50% vs 100% overlapped scaling efficiency)")
     ap.add_argument("--slices", type=int, default=1,
                     help=">1: two-level halo over a (slices, dp) mesh — "
                          "ICI all_to_all within a slice, slice-deduped "
@@ -155,13 +157,6 @@ def main():
         perm, inv = reorder_bandwidth(ei, n)
         ei = inv[np.asarray(ei)]
         x, y, train, val = x[perm], y[perm], train[perm], val[perm]
-    if args.balance:
-        from gammagl_tpu.parallel import balance_permutation
-        perm, inv = balance_permutation(
-            np.asarray(ei), n, ndev if args.slices <= 1
-            else args.slices * (ndev // args.slices))
-        ei = inv[np.asarray(ei)]
-        x, y, train, val = x[perm], y[perm], train[perm], val[perm]
 
     t0 = time.perf_counter()
     ei = np.concatenate(  # self-loops (reference gcn_trainer does the same)
@@ -180,11 +175,13 @@ def main():
                          axis_names=("slice", "dp"))
         if planned:
             part = build_hier_halo_partition_planned(
-                np.asarray(ei), n, args.slices, dp, w)
+                np.asarray(ei), n, args.slices, dp, w,
+                balance=not args.no_balance)
             base = part.base
         else:
-            part = base = build_hier_halo_partition(np.asarray(ei), n,
-                                                    args.slices, dp, w)
+            part = base = build_hier_halo_partition(
+                np.asarray(ei), n, args.slices, dp, w,
+                balance=not args.no_balance)
         rep = traffic_report(base, max(f, args.hidden), cdtype)
         print(f"partition{' (planned/overlap)' if planned else ''}: "
               f"{args.slices}x{dp} mesh, rows/chip "
@@ -198,7 +195,8 @@ def main():
         mesh = make_mesh(axis_names=("dp",))
         nsb = auto_src_blocks(-(-n // ndev), max(f, args.hidden), cdtype)
         part = build_halo_partition_planned(np.asarray(ei), n, ndev, w,
-                                            num_src_blocks=nsb)
+                                            num_src_blocks=nsb,
+                                            balance=not args.no_balance)
         print(f"partition (planned/overlap): rows/chip {part.rows_per:,}, "
               f"halo/peer {part.halo_per_peer:,}, interior+boundary "
               f"tiles/chip {part.in_tb.shape[1]}+{part.bd_tb.shape[1]}, "
@@ -206,7 +204,8 @@ def main():
               f"({time.perf_counter() - t0:.1f}s)")
     else:
         mesh = make_mesh(axis_names=("dp",))
-        part = build_halo_partition(np.asarray(ei), n, ndev, w)
+        part = build_halo_partition(np.asarray(ei), n, ndev, w,
+                                    balance=not args.no_balance)
         print(f"partition: rows/chip {part.rows_per:,}, halo/peer "
               f"{part.halo_per_peer:,}, edges/chip "
               f"{part.edge_index.shape[2]:,} "

@@ -56,7 +56,7 @@ class GATConv(MessagePassing):
             # kernel as pre-scaled per-edge weights (keep_pad), so
             # training never leaves the fused path.
             import jax
-            from gammagl_tpu.ops.pallas import (flash_edge_attention,
+            from gammagl_tpu.ops.pallas import (flash_edge_attention_mh,
                                                 plan_gather_src)
             s_src = jnp.einsum("nhf,hf->nh", x, att[0, :, :F])
             a_dst = jnp.einsum("nhf,hf->nh", x, att[0, :, F:])
@@ -73,27 +73,19 @@ class GATConv(MessagePassing):
                                            self.dropout_rate,
                                            (plan.E_pad, H))
 
-            def head(s, a, m, k):
-                return flash_edge_attention(s, a, m, plan,
-                                            self.negative_slope,
-                                            keep_pad=k)
-
-            def head_nokeep(s, a, m):
-                return flash_edge_attention(s, a, m, plan,
-                                            self.negative_slope)
+            # ALL heads run as ONE pallas_call (head on the kernel grid)
+            # over the single packed gather — no per-head Python loop, no
+            # second gather for the scores.
+            def attn(g, a_dst, keep):
+                msg = g[:, :H * F].reshape(-1, H, F)
+                s = g[:, H * F:]
+                return flash_edge_attention_mh(s, a_dst, msg, plan,
+                                               self.negative_slope,
+                                               keep_pad=keep)
 
             if self.remat:
-                head = jax.checkpoint(head)
-                head_nokeep = jax.checkpoint(head_nokeep)
-            out = jnp.stack(
-                [head_nokeep(
-                    g[:, H * F + h], a_dst[:, h],
-                    jax.lax.slice_in_dim(g, h * F, (h + 1) * F, axis=1))
-                 if keep is None else
-                 head(g[:, H * F + h], a_dst[:, h],
-                      jax.lax.slice_in_dim(g, h * F, (h + 1) * F, axis=1),
-                      keep[:, h])
-                 for h in range(H)], axis=1)
+                attn = jax.checkpoint(attn, static_argnums=())
+            out = attn(g, a_dst, keep)
         else:
             src, dst = edge_index[0], edge_index[1]
             feat = jnp.concatenate(
@@ -158,8 +150,7 @@ class GATV2Conv(MessagePassing):
             # score from two plan-order gathers and runs softmax +
             # aggregate as ONE flash kernel per head (arbitrary-score
             # variant, slope=1 identity); dropout fuses via keep_pad.
-            import jax
-            from gammagl_tpu.ops.pallas import (flash_softmax_spmm,
+            from gammagl_tpu.ops.pallas import (flash_softmax_spmm_mh,
                                                 plan_gather_dst,
                                                 plan_gather_src)
             g_l = plan_gather_src(x_l.reshape(-1, H * F), plan)
@@ -173,13 +164,9 @@ class GATV2Conv(MessagePassing):
                 keep = attention_keep_mask(self.make_rng("dropout"),
                                            self.dropout_rate,
                                            (plan.E_pad, H))
-            out = jnp.stack(
-                [flash_softmax_spmm(
-                    e[:, h],
-                    jax.lax.slice_in_dim(g_l, h * F, (h + 1) * F, axis=1),
-                    plan,
-                    keep_pad=None if keep is None else keep[:, h])
-                 for h in range(H)], axis=1)
+            # all heads in ONE pallas_call (softmax + aggregate fused)
+            out = flash_softmax_spmm_mh(
+                e, g_l.reshape(-1, H, F), plan, keep_pad=keep)
         else:
             src, dst = edge_index[0], edge_index[1]
             feat = (jnp.take(x_l, src, axis=0, mode="clip")

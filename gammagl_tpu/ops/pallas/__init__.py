@@ -34,6 +34,10 @@ from gammagl_tpu.ops.pallas.attention import (  # noqa: F401
     segment_softmax_padded,
     bspmm_csr,
 )
+from gammagl_tpu.ops.pallas.sddmm_csr import (  # noqa: F401
+    sddmm_csr,
+    sddmm_csr_mh,
+)
 
 __all__ = ["CSRPlan", "BlockedCSRPlan", "build_csr_plan",
            "build_csr_plan_blocked", "segment_sum_csr", "spmm_csr",
@@ -44,4 +48,5 @@ __all__ = ["CSRPlan", "BlockedCSRPlan", "build_csr_plan",
            "flash_edge_attention", "flash_softmax_spmm",
            "flash_edge_attention_mh", "flash_softmax_spmm_mh",
            "attention_keep_mask", "BlockPairPlan",
-           "build_block_pair_plan", "spmm_block_pair"]
+           "build_block_pair_plan", "spmm_block_pair",
+           "sddmm_csr", "sddmm_csr_mh"]

@@ -1,0 +1,258 @@
+"""SDDMM over a CSR plan: per-edge endpoint dots without a dst gather.
+
+The reference computes attention scores as TWO per-edge gathers plus an
+elementwise dot (gat_conv.py:100-112 hides it inside each conv). On TPU the
+gather engine is the wall (~220 Mrows/s at F=256, PERF_NOTES "gather wall"),
+and two gathers in one program serialize at best — so the decomposed SDDMM
+pays ~2x the gather cost of SpMM for a handful of FLOPs.
+
+This kernel removes the dst gather entirely: edges are dst-sorted into the
+CSRPlan's R-row blocks, so each edge tile's destination rows live in ONE
+dense (R, F) block of the dst feature matrix. The per-edge dot becomes a
+dense (R, F) x (F, ET) MXU matmul followed by a one-hot row pick:
+
+    s[e] = sum_r [row(e) == r] * <x_dst[b*R + r], msg[e]>
+
+One src gather feeds ``msg``; the dst side streams block-dense. At arxiv
+scale (2.3M edges, F=256 bf16) the matmul adds ~300 GFLOPs — under 1 ms on
+the MXU — versus the ~11 ms the second gather costs.
+
+The VJP is kernel-backed on both sides:
+  * d msg[e] = g[e] * x_dst[row(e)]  — same block-dense trick, transposed
+    ((ET, R) one-hot-weighted times the (R, F) dst block, one MXU matmul);
+  * d x_dst  = segment-reduce of g ⊙ msg — exactly the sorted
+    segment-matmul kernel this module already owns.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gammagl_tpu.ops.pallas.segment_matmul import (_segment_matmul,
+                                                   gather_rows)
+from gammagl_tpu.ops.pallas.flash_attention import _dot3
+
+__all__ = ["sddmm_csr", "sddmm_csr_mh"]
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _sddmm_fwd_kernel(tb_ref, lr_ref, msg_ref, xd_ref, out_ref, *,
+                      R, ET, f32):
+    f = pl.program_id(2)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0) == lr_ref[0])
+    # d[r, e] = <x_dst[r], msg[e]> over this feature stripe
+    d = _dot3(xd_ref[:], msg_ref[:], ((1,), (1,)), f32)
+    part = jnp.sum(jnp.where(sel, d, 0.0), axis=0).reshape(1, 1, ET)
+
+    @pl.when(f == 0)
+    def _():
+        out_ref[:] = part
+
+    @pl.when(f > 0)
+    def _():
+        out_ref[:] = out_ref[:] + part
+
+
+def _sddmm_bwd_kernel(tb_ref, lr_ref, g_ref, xd_ref, dmsg_ref, *,
+                      R, ET, f32):
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0) == lr_ref[0])
+    oh = jnp.where(sel, g_ref[0], 0.0)           # (R, ET) f32
+    if f32:
+        dmsg = _dot3(oh, xd_ref[:], ((0,), (0,)), True)
+    else:
+        dmsg = jax.lax.dot_general(
+            oh.astype(jnp.bfloat16), xd_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    dmsg_ref[:] = dmsg.astype(dmsg_ref.dtype)
+
+
+def _pad_dst(x_dst, plan, H=None):
+    """Dense dst matrix padded to nb*R rows (one (R, F) block per tile)."""
+    nbR = plan.nblocks * plan.R
+    if H is None:
+        return jnp.zeros((nbR,) + x_dst.shape[1:], x_dst.dtype
+                         ).at[:x_dst.shape[0]].set(x_dst)
+    # (N, H, F) -> (H, nbR, F) -> (H*nbR, F)
+    F = x_dst.shape[-1]
+    out = jnp.zeros((H, nbR, F), x_dst.dtype).at[
+        :, :x_dst.shape[0]].set(x_dst.transpose(1, 0, 2))
+    return out.reshape(H * nbR, F)
+
+
+def _sddmm_forward_mh(msg, xd_full, plan, interpret):
+    """msg (H*E_pad, F), xd_full (H*nb*R, F) -> scores (H*T, 1, ET)."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    R, ET, T, nb = plan.R, plan.ET, plan.T, plan.nblocks
+    H = msg.shape[0] // plan.E_pad
+    F = msg.shape[1]
+    F_pad = _cdiv(F, 128) * 128
+    if F_pad != F:
+        msg = jnp.pad(msg, ((0, 0), (0, F_pad - F)))
+        xd_full = jnp.pad(xd_full, ((0, 0), (0, F_pad - F)))
+    FT = min(512, F_pad)
+    while F_pad % FT:
+        FT //= 2
+    nf = F_pad // FT
+    local_row = jnp.asarray(plan.local_row.reshape(T, 1, ET))
+    kern = functools.partial(_sddmm_fwd_kernel, R=R, ET=ET,
+                             f32=msg.dtype == jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(H, T, nf),
+        in_specs=[
+            pl.BlockSpec((1, 1, ET), lambda h, t, f, tb: (t, 0, 0)),
+            pl.BlockSpec((ET, FT), lambda h, t, f, tb: (h * T + t, f)),
+            pl.BlockSpec((R, FT), lambda h, t, f, tb: (h * nb + tb[t], f)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, ET),
+                               lambda h, t, f, tb: (h * T + t, 0, 0)),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((H * T, 1, ET), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * R * ET * F_pad * T * H,
+            bytes_accessed=H * (plan.E_pad + nb * R) * F_pad
+            * msg.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(plan.tile_block), local_row, msg, xd_full)
+
+
+def _sddmm_backward_mh(g, xd_full, plan, out_dtype, interpret):
+    """g (H*T, 1, ET) f32 -> dmsg (H*E_pad, F)."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    R, ET, T, nb = plan.R, plan.ET, plan.T, plan.nblocks
+    H = g.shape[0] // T
+    F = xd_full.shape[1]
+    F_pad = _cdiv(F, 128) * 128
+    if F_pad != F:
+        xd_full = jnp.pad(xd_full, ((0, 0), (0, F_pad - F)))
+    FT = min(512, F_pad)
+    while F_pad % FT:
+        FT //= 2
+    nf = F_pad // FT
+    local_row = jnp.asarray(plan.local_row.reshape(T, 1, ET))
+    kern = functools.partial(_sddmm_bwd_kernel, R=R, ET=ET,
+                             f32=out_dtype == jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(H, T, nf),
+        in_specs=[
+            pl.BlockSpec((1, 1, ET), lambda h, t, f, tb: (t, 0, 0)),
+            pl.BlockSpec((1, 1, ET), lambda h, t, f, tb: (h * T + t, 0, 0)),
+            pl.BlockSpec((R, FT), lambda h, t, f, tb: (h * nb + tb[t], f)),
+        ],
+        out_specs=pl.BlockSpec((ET, FT),
+                               lambda h, t, f, tb: (h * T + t, f)),
+    )
+    dmsg = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((H * plan.E_pad, F_pad), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * R * ET * F_pad * T * H,
+            bytes_accessed=H * (plan.E_pad + nb * R) * F_pad
+            * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(plan.tile_block), local_row, g, xd_full)
+    return dmsg[:, :F]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _sddmm_inner(msg, x_dst, plan, interpret):
+    """scores[e] = <msg[e], x_dst[row(e)]> for plan-order messages.
+
+    msg (E_pad, F), x_dst (N, F) -> (E_pad,) f32 (0 at pad lanes)."""
+    s = _sddmm_forward_mh(msg, _pad_dst(x_dst, plan), plan, interpret)
+    return s.reshape(-1) * jnp.asarray(plan.valid)
+
+
+def _sddmm_inner_fwd(msg, x_dst, plan, interpret):
+    out = _sddmm_inner(msg, x_dst, plan, interpret)
+    return out, (msg, x_dst)
+
+
+def _sddmm_inner_bwd(plan, interpret, res, g):
+    msg, x_dst = res
+    gv = (g * jnp.asarray(plan.valid)).astype(jnp.float32)
+    dmsg = _sddmm_backward_mh(gv.reshape(plan.T, 1, plan.ET),
+                              _pad_dst(x_dst, plan), plan, msg.dtype,
+                              interpret)
+    # d x_dst[r] = sum_{e: row(e)=r} g[e] * msg[e]: the sorted
+    # segment-matmul kernel with g as the per-edge weight
+    dxd = _segment_matmul(msg, gv.astype(msg.dtype), plan,
+                          interpret)[:x_dst.shape[0]].astype(x_dst.dtype)
+    return dmsg, dxd
+
+
+_sddmm_inner.defvjp(_sddmm_inner_fwd, _sddmm_inner_bwd)
+
+
+def sddmm_csr(x_src, x_dst, plan, interpret=False, msg=None):
+    """Per-edge dots scores[e] = <x_src[src_e], x_dst[dst_e]> in padded
+    plan order, with ONE gather (src side; the dst side streams as dense
+    R-row blocks on the MXU). Returns (E_pad,) f32, zero at pad lanes.
+
+    Pass ``msg`` (E_pad, F) to reuse an existing plan-order src gather
+    (attention convs gather features for aggregation anyway — the score
+    then costs no gather at all). Differentiable in all tensor args.
+    """
+    if msg is None:
+        msg = gather_rows(x_src, plan, "src")
+    return _sddmm_inner(msg, x_dst, plan, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _sddmm_inner_mh(msg, x_dst, plan, interpret):
+    """Multi-head: msg (E_pad, H, F), x_dst (N, H, F) -> (E_pad, H)."""
+    E_pad, H, F = msg.shape
+    m = msg.transpose(1, 0, 2).reshape(H * E_pad, F)
+    s = _sddmm_forward_mh(m, _pad_dst(x_dst, plan, H), plan, interpret)
+    s = s.reshape(H, plan.E_pad).T
+    return s * jnp.asarray(plan.valid)[:, None]
+
+
+def _sddmm_inner_mh_fwd(msg, x_dst, plan, interpret):
+    return _sddmm_inner_mh(msg, x_dst, plan, interpret), (msg, x_dst)
+
+
+def _sddmm_inner_mh_bwd(plan, interpret, res, g):
+    msg, x_dst = res
+    E_pad, H, F = msg.shape
+    gv = (g * jnp.asarray(plan.valid)[:, None]).astype(jnp.float32)
+    g_blocks = gv.T.reshape(H * plan.T, 1, plan.ET)
+    dmsg = _sddmm_backward_mh(g_blocks, _pad_dst(x_dst, plan, H), plan,
+                              msg.dtype, interpret)
+    dmsg = dmsg.reshape(H, E_pad, F).transpose(1, 0, 2)
+    dxd = jnp.stack(
+        [_segment_matmul(msg[:, h], gv[:, h].astype(msg.dtype), plan,
+                         interpret)[:x_dst.shape[0]] for h in range(H)],
+        axis=1).astype(x_dst.dtype)
+    return dmsg, dxd
+
+
+_sddmm_inner_mh.defvjp(_sddmm_inner_mh_fwd, _sddmm_inner_mh_bwd)
+
+
+def sddmm_csr_mh(x_src, x_dst, plan, interpret=False, msg=None):
+    """Multi-head `sddmm_csr`: x_src/x_dst (N, H, F) -> (E_pad, H).
+
+    One (N, H*F) gather serves all heads; one pallas_call computes every
+    head's scores (grid (H, T, F-tiles))."""
+    if msg is None:
+        N, H, F = x_src.shape
+        msg = gather_rows(x_src.reshape(N, H * F), plan,
+                          "src").reshape(-1, H, F)
+    return _sddmm_inner_mh(msg, x_dst, plan, interpret)

@@ -100,6 +100,18 @@ def build_csr_plan(src, dst, num_nodes, num_src=None, R=256, ET=512):
     dst = np.asarray(dst, dtype=np.int64)
     E = int(dst.shape[0])
     num_src = int(num_src if num_src is not None else num_nodes)
+    if E:
+        # out-of-range endpoints would silently clamp into the last row
+        # block (overflowing its padding) — fail loudly instead. Callers
+        # that want drop semantics must mask edges before building a plan.
+        if int(dst.max()) >= num_nodes or int(dst.min()) < 0:
+            raise ValueError(
+                f"build_csr_plan: dst out of range [0, {num_nodes}) "
+                f"(min {int(dst.min())}, max {int(dst.max())})")
+        if int(src.max()) >= num_src or int(src.min()) < 0:
+            raise ValueError(
+                f"build_csr_plan: src out of range [0, {num_src}) "
+                f"(min {int(src.min())}, max {int(src.max())})")
     order = np.argsort(dst, kind="stable")
     src_s = src[order]
     dst_s = dst[order]

@@ -29,7 +29,8 @@ from gammagl_tpu.parallel.halo_attention import (
 from gammagl_tpu.parallel.strategies import (pipeline_apply, make_feature_sharded_spmm, relation_expert_spmm)
 from gammagl_tpu.parallel.scaling import (HwModel, V5E,
                                           halo_scaling_estimate)
-from gammagl_tpu.parallel.full_graph import (pad_nodes, shard_nodes,
+from gammagl_tpu.parallel.full_graph import (pad_nodes, unpad_nodes,
+                                             shard_nodes,
                                              sign_precompute,
                                              make_partitioned_gcn_train,
                                              make_partitioned_gat_train,
@@ -68,6 +69,7 @@ __all__ = [
     "make_feature_sharded_spmm",
     "relation_expert_spmm",
     "pad_nodes",
+    "unpad_nodes",
     "shard_nodes",
     "sign_precompute",
     "make_partitioned_gcn_train",

@@ -47,7 +47,7 @@ from gammagl_tpu.parallel.halo_plan import (PlannedHaloPartition,
 from gammagl_tpu.parallel.hier_halo import (HierHaloPartition,
                                             make_hier_halo_spmm)
 
-__all__ = ["pad_nodes", "shard_nodes", "sign_precompute",
+__all__ = ["pad_nodes", "unpad_nodes", "shard_nodes", "sign_precompute",
            "make_partitioned_gcn_train", "make_partitioned_gat_train",
            "estimate_hbm_gb"]
 
@@ -68,6 +68,9 @@ def _make_spmm(mesh, part, axis, as_args=False):
         axes = tuple(axis) if isinstance(axis, (tuple, list)) \
             else ("slice", "dp")
         if isinstance(part, PlannedHierHaloPartition):
+            if as_args:
+                return make_hier_halo_spmm_planned(mesh, part, axes,
+                                                   as_args=True)
             fn = make_hier_halo_spmm_planned(mesh, part, axes)
         else:
             fn = make_hier_halo_spmm(mesh, part, axes)
@@ -83,11 +86,28 @@ def _make_spmm(mesh, part, axis, as_args=False):
 
 
 def pad_nodes(arr, part, fill=0):
-    """Pad a per-node array (N, ...) to the partition's (P*rows_per, ...)."""
+    """Pad a per-node array (N, ...) to the partition's (P*rows_per, ...).
+
+    Balanced partitions (default) carry a node relabeling; per-node data
+    is reordered with ``arr[node_perm]`` here so callers feed natural
+    order everywhere. Un-permute per-node RESULTS with
+    ``out[:N][part.node_inv]``.
+    """
     arr = np.asarray(arr)
+    perm = getattr(part, "node_perm", None)
+    if perm is not None:
+        arr = arr[perm]
     total = part.num_parts * part.rows_per
     pad = [(0, total - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
     return np.pad(arr, pad, constant_values=fill)
+
+
+def unpad_nodes(out, part):
+    """Inverse of `pad_nodes` for per-node RESULTS: strip padding and undo
+    the balanced relabeling, returning natural-order (N, ...) numpy."""
+    out = np.asarray(out)[:part.num_nodes]
+    inv = getattr(part, "node_inv", None)
+    return out if inv is None else out[inv]
 
 
 def shard_nodes(arr, mesh, part, axis="dp", fill=0, dtype=None):

@@ -43,6 +43,12 @@ class HaloPartition(NamedTuple):
     rows_per: int            # owned rows per device (last block padded)
     halo_per_peer: int       # H
     num_nodes: int
+    # balanced relabeling (default-on): new_id = node_inv[old_id]. Node
+    # data must be reordered with x[node_perm] — `pad_nodes`/`shard_nodes`
+    # do it automatically; un-permute results with [node_inv]. None =
+    # natural order (balance=False or identity permutation).
+    node_perm: object = None
+    node_inv: object = None
 
     @property
     def halo_total(self):
@@ -95,9 +101,43 @@ def _halo_sets(edge_index, num_nodes, num_parts, edge_weight=None,
     return rows_per, H, part_edges, halo, send_idx
 
 
+def _balanced_relabel(edge_index, num_nodes, num_parts):
+    """(relabeled_ei, perm, inv) or (ei, None, None) when identity.
+
+    Default-on for every halo builder: on power-law graphs the natural
+    ordering concentrates in-degree in a few owner blocks (2x padded-edge
+    inflation at arxiv scale -> ~50% scaling efficiency; BASELINE target
+    is >=75%). `balance_permutation` deals nodes to blocks by in-degree
+    so the default invocation hits the target; pass ``balance=False``
+    to keep the caller's node order (e.g. when an external partitioner
+    already placed the rows).
+    """
+    from gammagl_tpu.parallel.partition import balance_permutation
+    ei = np.asarray(edge_index)
+    if num_parts <= 1:   # single owner block: nothing to balance
+        return ei, None, None
+    perm, inv = balance_permutation(ei, num_nodes, num_parts)
+    if np.array_equal(perm, np.arange(num_nodes)):
+        return ei, None, None
+    return inv[ei], perm, inv
+
+
 def build_halo_partition(edge_index, num_nodes, num_parts,
-                         edge_weight=None):
-    """Contiguous node blocks; edges assigned to the dst owner."""
+                         edge_weight=None, balance=True):
+    """Contiguous node blocks; edges assigned to the dst owner.
+
+    ``balance`` (default) relabels nodes with `balance_permutation` so
+    every device owns ~equal edges; the permutation rides on the
+    partition (`node_perm`/`node_inv`) and `shard_nodes` applies it.
+    """
+    if balance:
+        ei_b, perm, inv = _balanced_relabel(edge_index, num_nodes,
+                                            num_parts)
+        if perm is not None:
+            return build_halo_partition(
+                ei_b, num_nodes, num_parts, edge_weight,
+                balance=False)._replace(node_perm=perm, node_inv=inv)
+        edge_index = ei_b
     rows_per, H, part_edges, halo, send_idx = _halo_sets(
         edge_index, num_nodes, num_parts, edge_weight)
     E_max = _round_up(max(1, max(pe[0].shape[1] for pe in part_edges)), 128)

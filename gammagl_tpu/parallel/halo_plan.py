@@ -36,7 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from gammagl_tpu.ops import segment_sum
 from gammagl_tpu.ops.pallas.segment_matmul import (build_csr_plan,
                                                    segment_matmul_dyn_vjp)
-from gammagl_tpu.parallel.halo import _halo_sets
+from gammagl_tpu.parallel.halo import _balanced_relabel, _halo_sets
 from gammagl_tpu.parallel.hier_halo import (HierHaloPartition,
                                             build_hier_halo_partition)
 
@@ -91,6 +91,9 @@ class PlannedHaloPartition(NamedTuple):
     # edge mass still exceeds the cap (a single hub ROW can) are split
     # into several plans SHARING a span.
     src_spans: tuple = ()
+    # balanced relabeling (default-on; see HaloPartition.node_perm)
+    node_perm: object = None
+    node_inv: object = None
 
     @property
     def nblocks(self):
@@ -135,7 +138,8 @@ def auto_src_blocks(rows_per, feat_dim, dtype=np.float32,
 
 def build_halo_partition_planned(edge_index, num_nodes, num_parts,
                                  edge_weight=None, R=256, ET=512,
-                                 num_src_blocks=1, with_transpose=True):
+                                 num_src_blocks=1, with_transpose=True,
+                                 balance=True):
     """Contiguous node blocks + per-device interior/boundary kernel plans.
 
     Same partition/halo analysis as `build_halo_partition` (`_halo_sets`),
@@ -146,16 +150,33 @@ def build_halo_partition_planned(edge_index, num_nodes, num_parts,
     backward pass through the kernel too. Set `num_src_blocks` (helper:
     `auto_src_blocks`) when a device's feature block exceeds ~100 MB so
     each interior gather stays inside the fast-gather regime.
+
+    ``balance`` (default) applies the in-degree-balanced node relabeling
+    (`balance_permutation`) so the default invocation meets the >=75%
+    scaling-efficiency target on power-law graphs; the permutation rides
+    on `node_perm`/`node_inv` and `shard_nodes` applies it. The transpose
+    partition shares the same labeling.
     """
+    if balance:
+        ei_b, perm, inv = _balanced_relabel(edge_index, num_nodes,
+                                            num_parts)
+        if perm is not None:
+            return build_halo_partition_planned(
+                ei_b, num_nodes, num_parts, edge_weight, R=R, ET=ET,
+                num_src_blocks=num_src_blocks,
+                with_transpose=with_transpose,
+                balance=False)._replace(node_perm=perm, node_inv=inv)
+        edge_index = ei_b
     if with_transpose:
         ei = np.asarray(edge_index)
         part_t = build_halo_partition_planned(
             ei[[1, 0]], num_nodes, num_parts, edge_weight, R=R, ET=ET,
-            num_src_blocks=num_src_blocks, with_transpose=False)
+            num_src_blocks=num_src_blocks, with_transpose=False,
+            balance=False)
         return build_halo_partition_planned(
             ei, num_nodes, num_parts, edge_weight, R=R, ET=ET,
             num_src_blocks=num_src_blocks,
-            with_transpose=False)._replace(transpose=part_t)
+            with_transpose=False, balance=False)._replace(transpose=part_t)
     rows_per, H, part_edges, halo, send_idx = _halo_sets(
         edge_index, num_nodes, num_parts, edge_weight)
     R = min(R, _round8(rows_per))
@@ -246,12 +267,14 @@ def _src_block_spans(part_edges, num_parts, rows_per, B):
     if B <= 1 or rows_per <= 8:
         return [(0, rows_per)], [1], None
     hist = np.zeros(rows_per, np.int64)
+    per_dev_total = np.zeros(num_parts, np.int64)
     for p in range(num_parts):
         sub, _, src_owner = part_edges[p]
         own = src_owner == p
         if own.any():
             hist += np.bincount(sub[0][own] - p * rows_per,
                                 minlength=rows_per)[:rows_per]
+            per_dev_total[p] = int(own.sum())
     cum = np.cumsum(hist)
     total = int(cum[-1])
     if total == 0:
@@ -266,7 +289,12 @@ def _src_block_spans(part_edges, num_parts, rows_per, B):
     bounds = bounds[(bounds > 0) & (bounds < rows_per)]
     bounds = [0] + bounds.tolist() + [rows_per]
     spans = list(zip(bounds[:-1], bounds[1:]))
-    cap = max(1, -(-total // B))
+    # chunking cap from the WORST per-device interior mass (chunk counts
+    # below compare per-device span mass — a cap from the global total
+    # would let a device-local hub block grow num_parts x past the
+    # per-device OOM target before ever chunking)
+    worst_total = int(per_dev_total.max()) if num_parts else total
+    cap = max(1, -(-worst_total // B))
     # worst-case per-DEVICE mass decides the chunk count (plans stack
     # per device; every device gets the same number of chunk plans)
     chunks = []
@@ -485,6 +513,9 @@ class PlannedHierHaloPartition(NamedTuple):
     R: int
     ET: int
     transpose: object = None
+    # balanced relabeling (default-on; see halo.HaloPartition.node_perm)
+    node_perm: object = None
+    node_inv: object = None
 
     @property
     def num_slices(self):
@@ -513,7 +544,8 @@ class PlannedHierHaloPartition(NamedTuple):
 
 def build_hier_halo_partition_planned(edge_index, num_nodes, num_slices,
                                       dp_per_slice, edge_weight=None,
-                                      R=256, ET=512, with_transpose=True):
+                                      R=256, ET=512, with_transpose=True,
+                                      balance=True):
     """Planned (overlap + kernel) layout on top of the two-level analysis.
 
     Reuses `build_hier_halo_partition`'s local edge remap, then splits each
@@ -521,18 +553,34 @@ def build_hier_halo_partition_planned(edge_index, num_nodes, num_slices,
     every class out for the segment-matmul kernel. The interior class
     overlaps BOTH collectives; the intra class additionally overlaps the
     DCN all_to_all + redistribute all_gather.
+
+    ``balance`` (default) applies the in-degree-balanced relabeling (see
+    build_halo_partition_planned); the permutation rides on the OUTER
+    partition's `node_perm`/`node_inv`.
     """
+    if balance:
+        ei_b, perm, inv = _balanced_relabel(edge_index, num_nodes,
+                                            int(num_slices)
+                                            * int(dp_per_slice))
+        if perm is not None:
+            return build_hier_halo_partition_planned(
+                ei_b, num_nodes, num_slices, dp_per_slice, edge_weight,
+                R=R, ET=ET, with_transpose=with_transpose,
+                balance=False)._replace(node_perm=perm, node_inv=inv)
+        edge_index = ei_b
     if with_transpose:
         ei = np.asarray(edge_index)
         part_t = build_hier_halo_partition_planned(
             ei[[1, 0]], num_nodes, num_slices, dp_per_slice, edge_weight,
-            R=R, ET=ET, with_transpose=False)
+            R=R, ET=ET, with_transpose=False, balance=False)
         return build_hier_halo_partition_planned(
             ei, num_nodes, num_slices, dp_per_slice, edge_weight,
-            R=R, ET=ET, with_transpose=False)._replace(transpose=part_t)
+            R=R, ET=ET, with_transpose=False,
+            balance=False)._replace(transpose=part_t)
 
     base = build_hier_halo_partition(edge_index, num_nodes, num_slices,
-                                     dp_per_slice, edge_weight)
+                                     dp_per_slice, edge_weight,
+                                     balance=False)
     S, D = base.num_slices, base.dp_per_slice
     rows_per, H1, H2 = base.rows_per, base.h_intra, base.h_inter
     R = min(R, _round8(rows_per))
@@ -572,13 +620,21 @@ def build_hier_halo_partition_planned(edge_index, num_nodes, num_slices,
 
 def make_hier_halo_spmm_planned(mesh: Mesh, part: PlannedHierHaloPartition,
                                 axes=("slice", "dp"), kernel: bool = True,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                as_args: bool = False):
     """Overlapped two-level halo SpMM with Pallas local aggregation.
 
     Collective/compute schedule per device: launch the ICI and DCN
     all_to_alls, aggregate interior edges (depends on neither), add the
     intra-slice contribution (hides the DCN leg + the redistribute
     all_gather), then the inter-slice contribution.
+
+    ``as_args=True`` mirrors `make_halo_spmm_planned`: returns
+    ``(spmm, consts)`` with the stacked plan buffers device_put once and
+    threaded through the caller's jit boundary as sharded arguments —
+    required beyond a few million edges per device, where embedded HLO
+    literals scale O(E) in program bytes (HTTP 413 / constant-folding
+    crawl at papers100M shard scale).
     """
     slice_ax, dp_ax = axes
     S, D = part.num_slices, part.dp_per_slice
@@ -630,10 +686,40 @@ def make_hier_halo_spmm_planned(mesh: Mesh, part: PlannedHierHaloPartition,
                part.ia_src, part.ia_w, part.ia_lr, part.ia_tb, part.ia_tf,
                part.ir_src, part.ir_w, part.ir_lr, part.ir_tb, part.ir_tf)]
 
+    has_t = part.transpose is not None
+    if as_args:
+        # device-resident plan buffers as jit arguments (same rationale
+        # as make_halo_spmm_planned(as_args=True))
+        def put(cs):
+            return tuple(jax.device_put(
+                jnp.asarray(c), NamedSharding(mesh, P(slice_ax, dp_ax)))
+                for c in cs)
+        if has_t:
+            fn_t = make_hier_halo_spmm_planned(
+                mesh, part.transpose._replace(transpose=None), axes=axes,
+                kernel=kernel, interpret=interpret, as_args=True)
+            spmm_t, consts_t_dev = fn_t
+            consts_dev = {"fwd": put(consts), "bwd": consts_t_dev["fwd"]}
+
+            @jax.custom_vjp
+            def spmm_a(x, cd):
+                return _spmm(x, *cd["fwd"])
+
+            def _fwd_a(x, cd):
+                return _spmm(x, *cd["fwd"]), cd
+
+            def _bwd_a(cd, g):
+                return (spmm_t(g, {"fwd": cd["bwd"]}),
+                        _zero_cotangents(cd))
+
+            spmm_a.defvjp(_fwd_a, _bwd_a)
+            return spmm_a, consts_dev
+        return (lambda x, cd: _spmm(x, *cd["fwd"])), {"fwd": put(consts)}
+
     def run(x_sharded):
         return _spmm(x_sharded, *consts)
 
-    if part.transpose is None:
+    if not has_t:
         return run
 
     run_t = make_hier_halo_spmm_planned(

@@ -64,6 +64,9 @@ class HierHaloPartition(NamedTuple):
     inter_rows: int          # sum over (s,t,d) |R[s][t][d]|
     inter_rows_flat: int     # what a flat all_to_all would push across DCN
     intra_rows: int
+    # balanced relabeling (default-on; see halo.HaloPartition.node_perm)
+    node_perm: object = None
+    node_inv: object = None
 
     @property
     def num_parts(self):
@@ -71,16 +74,28 @@ class HierHaloPartition(NamedTuple):
 
 
 def build_hier_halo_partition(edge_index, num_nodes, num_slices,
-                              dp_per_slice, edge_weight=None):
+                              dp_per_slice, edge_weight=None,
+                              balance=True):
     """Slice-major contiguous node blocks; edges assigned to the dst owner.
 
     Device ``(s, d)`` owns global rows ``[(s*D+d)*rows_per, ...)``. Source
     ids in each device's edge list are remapped to the local table
     ``[0, rows_per)`` own | ``rows_per + q*H1 + i`` intra (dp-peer q) |
     ``rows_per + D*H1 + (d_owner*S + s)*H2 + i`` inter (slice s, owner d).
+
+    ``balance`` (default) applies the in-degree-balanced relabeling over
+    the S*D owner blocks (see halo.build_halo_partition).
     """
     S, D = int(num_slices), int(dp_per_slice)
     nparts = S * D
+    if balance:
+        from gammagl_tpu.parallel.halo import _balanced_relabel
+        ei_b, perm, inv = _balanced_relabel(edge_index, num_nodes, nparts)
+        if perm is not None:
+            return build_hier_halo_partition(
+                ei_b, num_nodes, num_slices, dp_per_slice, edge_weight,
+                balance=False)._replace(node_perm=perm, node_inv=inv)
+        edge_index = ei_b
     ei = np.asarray(edge_index)
     w = (np.asarray(edge_weight) if edge_weight is not None
          else np.ones(ei.shape[1], np.float32))

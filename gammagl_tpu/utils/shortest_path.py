@@ -16,13 +16,19 @@ import numpy as np
 __all__ = ["shortest_path", "bucketed_spatial_encoding"]
 
 
-def shortest_path(edge_index, num_nodes, max_dist=None):
+def shortest_path(edge_index, num_nodes, max_dist=None, clip_far=True):
     """Dense (N, N) hop-distance matrix; unreachable pairs get -1.
 
     Uses scipy.sparse.csgraph (C BFS) when available — ~100x the pure
     Python BFS at ogbg scales — with the original list-BFS fallback.
-    `max_dist` clips distances to [0, max_dist] (unreachable stays -1),
-    matching the spatial encoder's clamped embedding table.
+
+    `max_dist` handling (Graphormer spatial encoding): with the default
+    ``clip_far=True``, REACHABLE pairs farther than `max_dist` clamp to
+    `max_dist` (they share the encoder's "far" embedding bucket — the
+    published Graphormer's SPD clip) while unreachable pairs stay -1
+    (the "no spatial relation" row). ``clip_far=False`` restores the
+    truncated-BFS semantics where far pairs also land at -1 (everything
+    beyond `max_dist` reads as "no relation").
     """
     ei = np.asarray(edge_index)
     try:
@@ -36,7 +42,7 @@ def shortest_path(edge_index, num_nodes, max_dist=None):
     except ImportError:  # pragma: no cover - scipy is a baked-in dep
         out = _bfs_python(ei, num_nodes)
     if max_dist is not None:
-        out = np.where(out > max_dist, max_dist, out)
+        out = np.where(out > max_dist, max_dist if clip_far else -1, out)
     return out
 
 

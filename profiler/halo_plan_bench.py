@@ -38,9 +38,9 @@ def main():
                     help="use the reference's bundled REAL citation "
                          "adjacency (datasets/real_structure.py) instead "
                          "of a uniform-random synthetic graph")
-    ap.add_argument("--balance", action="store_true",
-                    help="apply parallel.balance_permutation before "
-                         "partitioning")
+    ap.add_argument("--no-balance", action="store_true",
+                    help="disable the builders' default "
+                         "balance_permutation relabeling")
     args = ap.parse_args()
 
     import jax
@@ -67,15 +67,13 @@ def main():
                        rng.integers(0, args.nodes, args.edges)])
     w = rng.random(args.edges).astype(np.float32)
     ndev = len(jax.devices())
-    if args.balance:
-        from gammagl_tpu.parallel import balance_permutation
-        _, inv = balance_permutation(ei, args.nodes, ndev)
-        ei = inv[np.asarray(ei)]
     mesh = Mesh(np.asarray(jax.devices()), ("dp",))
 
     t0 = time.perf_counter()
-    flat = build_halo_partition(ei, args.nodes, ndev, w)
-    plan = build_halo_partition_planned(ei, args.nodes, ndev, w)
+    bal = not args.no_balance
+    flat = build_halo_partition(ei, args.nodes, ndev, w, balance=bal)
+    plan = build_halo_partition_planned(ei, args.nodes, ndev, w,
+                                        balance=bal)
     print(f"partitions built in {time.perf_counter() - t0:.1f}s "
           f"(rows/dev {plan.rows_per:,}, halo/peer {plan.halo_per_peer:,})")
 
@@ -129,7 +127,8 @@ def main():
         print(f"kernel speedup vs flat: {t_flat / t_plan:.2f}x")
     if args.src_blocks > 1:
         blocked = build_halo_partition_planned(
-            ei, args.nodes, ndev, w, num_src_blocks=args.src_blocks)
+            ei, args.nodes, ndev, w, num_src_blocks=args.src_blocks,
+            balance=bal)
         timed(f"planned kernel, {args.src_blocks} src blocks",
               make_halo_spmm_planned(mesh, blocked, kernel=True))
 

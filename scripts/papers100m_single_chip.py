@@ -147,12 +147,16 @@ def main():
     # relative to t_compute -> a conservative efficiency estimate
     hw = HwModel(spmm_edges_per_s=eps)
     rows_full = -(-PAPERS_N // chips_for_full)
-    est_sc = halo_scaling_estimate(
-        chips_for_full, -(-PAPERS_E // chips_for_full),
-        halo_rows_sent=rows_full,  # worst case: every owned row is halo
-        feat_dim=args.hidden, hw=hw, overlap=True,
-        total_edges=PAPERS_E)
-    eff = est_sc["efficiency"]
+    kw = dict(num_parts=chips_for_full,
+              edges_per_part=-(-PAPERS_E // chips_for_full),
+              halo_rows_sent=rows_full,  # worst: every owned row is halo
+              feat_dim=args.hidden, hw=hw, total_edges=PAPERS_E)
+    est_ov = halo_scaling_estimate(overlap=True, **kw)
+    est_flat = halo_scaling_estimate(overlap=False, **kw)
+    # headline uses the FLAT (no overlap credit) roofline — the
+    # conservative end of the measured band (MULTICHIP artifact:
+    # balanced-order 8-dev roofline = 100% overlapped / ~81% flat)
+    eff = est_flat["efficiency"]
     full_epoch_s = PAPERS_E / (eps * chips_for_full * eff)
     payload = {
         "metric": "papers100m_gcn_epoch",
@@ -165,7 +169,9 @@ def main():
         "est_hbm_gb": round(float(est), 2),
         "extrapolated_full_graph": {
             "chips": int(chips_for_full),
-            "scaling_efficiency_model": round(float(eff), 3),
+            "scaling_efficiency_model_flat": round(float(eff), 3),
+            "scaling_efficiency_model_overlapped": round(
+                float(est_ov["efficiency"]), 3),
             "epoch_s": round(full_epoch_s, 2),
         },
         "reference_counterpart": "none (GammaGL has no full-graph "

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import optax
 
 from gammagl_tpu.ops import spmm
-from gammagl_tpu.parallel import make_mesh
+from gammagl_tpu.parallel import make_mesh, pad_nodes, unpad_nodes
 from gammagl_tpu.parallel.halo import (build_halo_partition, make_halo_spmm,
                                        reorder_bandwidth)
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -22,8 +22,8 @@ def _case(seed=0, n=100, e=600, f=16):
 
 
 def _pad_x(x, part):
-    total = part.num_parts * part.rows_per
-    return np.pad(x, ((0, total - x.shape[0]), (0, 0)))
+    # pad_nodes applies the (default-on) balanced relabeling too
+    return pad_nodes(x, part)
 
 
 def test_halo_spmm_matches_dense():
@@ -37,7 +37,7 @@ def test_halo_spmm_matches_dense():
     out = fn(xp)
     ref = spmm(jnp.asarray(ei), jnp.asarray(w), jnp.asarray(x),
                num_nodes=n)
-    np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(ref),
+    np.testing.assert_allclose(unpad_nodes(out, part), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
     # padded tail rows receive nothing
     np.testing.assert_allclose(np.asarray(out)[n:], 0.0)
@@ -54,7 +54,7 @@ def test_halo_spmm_grad():
     g_ref = jax.grad(lambda x: (spmm(jnp.asarray(ei), jnp.asarray(w), x,
                                      num_nodes=64) ** 2).sum())(
         jnp.asarray(x))
-    np.testing.assert_allclose(np.asarray(g_halo)[:64], np.asarray(g_ref),
+    np.testing.assert_allclose(unpad_nodes(g_halo, part), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-4)
 
 
@@ -69,7 +69,7 @@ def test_partitioned_gcn_training_step():
     total = part.num_parts * part.rows_per
     xp = jax.device_put(jnp.asarray(_pad_x(x, part)),
                         NamedSharding(mesh, P("dp")))
-    yp = jnp.asarray(np.pad(y, (0, total - n)))
+    yp = jnp.asarray(pad_nodes(y, part))
     mask = jnp.asarray(np.arange(total) < n)
 
     params = {

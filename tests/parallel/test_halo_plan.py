@@ -13,7 +13,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gammagl_tpu.parallel import (build_halo_partition,
                                   build_halo_partition_planned,
-                                  make_halo_spmm, make_halo_spmm_planned)
+                                  make_halo_spmm, make_halo_spmm_planned,
+                                  pad_nodes, unpad_nodes)
 
 
 def _graph(n=200, e=1600, seed=0):
@@ -40,13 +41,12 @@ def test_planned_matches_dense(kernel):
     ei, w, x = _graph(n)
     mesh = _mesh(ndev)
     part = build_halo_partition_planned(ei, n, ndev, w, R=16, ET=128)
-    total = part.num_parts * part.rows_per
-    xs = jax.device_put(jnp.asarray(np.pad(x, ((0, total - n), (0, 0)))),
+    xs = jax.device_put(jnp.asarray(pad_nodes(x, part)),
                         NamedSharding(mesh, P("dp")))
     out = jax.jit(make_halo_spmm_planned(mesh, part, kernel=kernel))(xs)
     ref = _dense_ref(ei, w, x, n)
-    got = np.asarray(out).reshape(total, -1)[:n]
-    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(unpad_nodes(out, part), ref,
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_planned_matches_flat_tier():
@@ -56,8 +56,8 @@ def test_planned_matches_flat_tier():
     flat = build_halo_partition(ei, n, ndev, w)
     plan = build_halo_partition_planned(ei, n, ndev, w, R=8, ET=128)
     assert flat.rows_per == plan.rows_per
-    total = ndev * flat.rows_per
-    xs = jax.device_put(jnp.asarray(np.pad(x, ((0, total - n), (0, 0)))),
+    np.testing.assert_array_equal(flat.node_perm, plan.node_perm)
+    xs = jax.device_put(jnp.asarray(pad_nodes(x, flat)),
                         NamedSharding(mesh, P("dp")))
     a = jax.jit(make_halo_spmm(mesh, flat))(xs)
     b = jax.jit(make_halo_spmm_planned(mesh, plan, kernel=False))(xs)
@@ -70,9 +70,8 @@ def test_planned_grad_flows():
     ei, w, x = _graph(n, e=700, seed=7)
     mesh = _mesh(ndev)
     part = build_halo_partition_planned(ei, n, ndev, w, R=8, ET=128)
-    total = ndev * part.rows_per
     spmm = make_halo_spmm_planned(mesh, part, kernel=True)
-    xs = jax.device_put(jnp.asarray(np.pad(x, ((0, total - n), (0, 0)))),
+    xs = jax.device_put(jnp.asarray(pad_nodes(x, part)),
                         NamedSharding(mesh, P("dp")))
 
     def loss(xv):
@@ -83,8 +82,8 @@ def test_planned_grad_flows():
     a = np.zeros((n, n), np.float64)
     np.add.at(a, (ei[1], ei[0]), w)
     ref = 2 * a.T @ (a @ x.astype(np.float64))
-    got = np.asarray(g).reshape(total, -1)[:n]
-    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(unpad_nodes(g, part), ref,
+                               rtol=2e-3, atol=2e-3)
 
 
 def test_empty_boundary_class():
@@ -100,7 +99,8 @@ def test_empty_boundary_class():
     w = np.ones(400, np.float32)
     x = rng.normal(size=(n, 8)).astype(np.float32)
     mesh = _mesh(ndev)
-    part = build_halo_partition_planned(ei, n, ndev, w, R=8, ET=128)
+    part = build_halo_partition_planned(ei, n, ndev, w, R=8, ET=128,
+                                        balance=False)
     assert part.halo_per_peer == 8  # minimum padding only
     total = ndev * part.rows_per
     xs = jax.device_put(jnp.asarray(np.pad(x, ((0, total - n), (0, 0)))),
@@ -120,12 +120,11 @@ def test_hier_planned_matches_dense(kernel):
     mesh = Mesh(np.asarray(jax.devices()[:S * D]).reshape(S, D),
                 ("slice", "dp"))
     part = build_hier_halo_partition_planned(ei, n, S, D, w, R=8, ET=128)
-    total = part.num_parts * part.rows_per
-    xs = jax.device_put(jnp.asarray(np.pad(x, ((0, total - n), (0, 0)))),
+    xs = jax.device_put(jnp.asarray(pad_nodes(x, part)),
                         NamedSharding(mesh, P(("slice", "dp"))))
     out = jax.jit(make_hier_halo_spmm_planned(mesh, part, kernel=kernel))(xs)
     ref = _dense_ref(ei, w, x, n)
-    np.testing.assert_allclose(np.asarray(out).reshape(total, -1)[:n], ref,
+    np.testing.assert_allclose(unpad_nodes(out, part), ref,
                                rtol=2e-4, atol=2e-4)
 
 
@@ -137,16 +136,42 @@ def test_hier_planned_grad_flows():
     mesh = Mesh(np.asarray(jax.devices()[:S * D]).reshape(S, D),
                 ("slice", "dp"))
     part = build_hier_halo_partition_planned(ei, n, S, D, w, R=8, ET=128)
-    total = part.num_parts * part.rows_per
     spmm = make_hier_halo_spmm_planned(mesh, part)
-    xs = jax.device_put(jnp.asarray(np.pad(x, ((0, total - n), (0, 0)))),
+    xs = jax.device_put(jnp.asarray(pad_nodes(x, part)),
                         NamedSharding(mesh, P(("slice", "dp"))))
     g = jax.jit(jax.grad(lambda v: jnp.sum(spmm(v) ** 2)))(xs)
     a = np.zeros((n, n), np.float64)
     np.add.at(a, (ei[1], ei[0]), w)
     ref = 2 * a.T @ (a @ x.astype(np.float64))
-    np.testing.assert_allclose(np.asarray(g).reshape(total, -1)[:n], ref,
+    np.testing.assert_allclose(unpad_nodes(g, part), ref,
                                rtol=2e-3, atol=2e-3)
+
+
+def test_hier_planned_as_args_matches_embed_and_grad():
+    """Hier-tier as_args (plan buffers as sharded jit arguments) must
+    match embed mode in value AND gradient — same O(E)-program-bytes
+    rationale as the flat planned tier (round-2 advisor finding)."""
+    from gammagl_tpu.parallel import (build_hier_halo_partition_planned,
+                                      make_hier_halo_spmm_planned)
+    n, S, D = 180, 2, 4
+    ei, w, x = _graph(n, e=1400, seed=5)
+    mesh = Mesh(np.asarray(jax.devices()[:S * D]).reshape(S, D),
+                ("slice", "dp"))
+    part = build_hier_halo_partition_planned(ei, n, S, D, w, R=8, ET=128)
+    total = part.num_parts * part.rows_per
+    xs = jax.device_put(jnp.asarray(np.pad(x, ((0, total - n), (0, 0)))),
+                        NamedSharding(mesh, P(("slice", "dp"))))
+    spmm_e = make_hier_halo_spmm_planned(mesh, part)
+    spmm_a, consts = make_hier_halo_spmm_planned(mesh, part, as_args=True)
+    out_e = jax.jit(spmm_e)(xs)
+    out_a = jax.jit(spmm_a)(xs, consts)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_e),
+                               rtol=1e-6, atol=1e-6)
+    ge = jax.jit(jax.grad(lambda v: (spmm_e(v) ** 2).sum()))(xs)
+    ga = jax.jit(jax.grad(
+        lambda v, cd: (spmm_a(v, cd) ** 2).sum()))(xs, consts)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ge),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_hier_planned_full_graph_recipe():
@@ -184,21 +209,22 @@ def test_src_blocked_interior_matches():
     assert auto_src_blocks(2_000_000, 128, np.float32) >= 10
     part = build_halo_partition_planned(ei, n, ndev, w, R=8, ET=128,
                                         num_src_blocks=3)
-    assert len(part.in_extra) == 2
-    total = ndev * part.rows_per
-    xs = jax.device_put(jnp.asarray(np.pad(x, ((0, total - n), (0, 0)))),
+    # balanced relabeling can add span-sharing chunk plans beyond the
+    # requested block count — at least the requested split must exist
+    assert len(part.in_extra) >= 2
+    xs = jax.device_put(jnp.asarray(pad_nodes(x, part)),
                         NamedSharding(mesh, P("dp")))
     spmm = make_halo_spmm_planned(mesh, part)
     out = jax.jit(spmm)(xs)
     ref = _dense_ref(ei, w, x, n)
-    np.testing.assert_allclose(np.asarray(out).reshape(total, -1)[:n], ref,
+    np.testing.assert_allclose(unpad_nodes(out, part), ref,
                                rtol=2e-4, atol=2e-4)
     # gradient through the blocked interior + transpose partition
     g = jax.jit(jax.grad(lambda v: jnp.sum(spmm(v) ** 2)))(xs)
     a = np.zeros((n, n), np.float64)
     np.add.at(a, (ei[1], ei[0]), w)
     refg = 2 * a.T @ (a @ x.astype(np.float64))
-    np.testing.assert_allclose(np.asarray(g).reshape(total, -1)[:n], refg,
+    np.testing.assert_allclose(unpad_nodes(g, part), refg,
                                rtol=2e-3, atol=2e-3)
 
 
@@ -254,6 +280,46 @@ def test_src_block_bounds_balance_powerlaw():
     # numerics unchanged vs dense
     x = rng.normal(size=(n, 8)).astype(np.float32)
     mesh = _mesh(1)
+    total = part.num_parts * part.rows_per
+    xs = jax.device_put(jnp.asarray(np.pad(x, ((0, total - n), (0, 0)))),
+                        NamedSharding(mesh, P("dp")))
+    out = jax.jit(make_halo_spmm_planned(mesh, part, kernel=True))(xs)
+    ref = _dense_ref(ei, w, x, n)
+    np.testing.assert_allclose(np.asarray(out)[:n], ref, rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_src_block_bounds_balance_multidevice():
+    """num_parts > 1: the chunking cap must bound PER-DEVICE span mass
+    (a cap from the global edge total would let one device's hub block
+    grow num_parts x past the per-device OOM target). Regression test
+    for the round-2 advisor finding (halo_plan.py hub-chunking cap)."""
+    from gammagl_tpu.parallel import build_halo_partition_planned
+    rng = np.random.default_rng(1)
+    n, e, ndev = 512, 24000, 4
+    rows_per = n // ndev
+    # hub sources concentrated on ONE device's local rows so the global
+    # total is ~ndev x that device's interior mass
+    src = (rng.zipf(1.35, e) - 1) % rows_per   # device-0 local hub rows
+    dst = rng.integers(0, n, e)
+    ei = np.stack([src, dst])
+    w = np.ones(e, np.float32)
+    part = build_halo_partition_planned(ei, n, ndev, w, R=16, ET=64,
+                                        num_src_blocks=4, balance=False)
+    B = len(part.src_spans)
+    assert B >= 4
+    # per-device interior mass per span block must respect the
+    # worst-device cap, not the global-total cap
+    worst_dev = e  # every interior edge is owned by device 0 here
+    cap = -(-worst_dev // 4)
+    blocks = [part.in_w] + [x[1] for x in part.in_extra]
+    for b in blocks:
+        per_dev = np.asarray(b).reshape(ndev, -1).sum(axis=1)
+        assert per_dev.max() <= 1.5 * cap + 64, per_dev
+
+    # numerics unchanged vs dense
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    mesh = _mesh(ndev)
     total = part.num_parts * part.rows_per
     xs = jax.device_put(jnp.asarray(np.pad(x, ((0, total - n), (0, 0)))),
                         NamedSharding(mesh, P("dp")))

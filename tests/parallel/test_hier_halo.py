@@ -8,7 +8,7 @@ import jax.numpy as jnp
 
 from gammagl_tpu.ops import spmm
 from gammagl_tpu.parallel import (build_halo_partition, make_mesh,
-                                  pad_nodes, shard_nodes,
+                                  pad_nodes, unpad_nodes, shard_nodes,
                                   make_partitioned_gcn_train,
                                   sign_precompute)
 from gammagl_tpu.parallel.hier_halo import (build_hier_halo_partition,
@@ -53,8 +53,8 @@ def test_hier_halo_spmm_grad():
     g_ref = jax.grad(lambda x: (spmm(jnp.asarray(ei), jnp.asarray(w), x,
                                      num_nodes=64) ** 2).sum())(
         jnp.asarray(x))
-    np.testing.assert_allclose(np.asarray(g_halo)[:64], np.asarray(g_ref),
-                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(unpad_nodes(g_halo, part),
+                               np.asarray(g_ref), rtol=1e-4, atol=1e-4)
 
 
 def test_hier_matches_flat_partition_traffic():

@@ -14,8 +14,8 @@ def test_balance_permutation_equalizes_edges():
     # perm/inv are inverse dense relabelings
     assert np.array_equal(np.sort(inv), np.arange(n))
     assert np.array_equal(inv[perm], np.arange(n))
-    part_nat = build_halo_partition(ei, n, p)
-    part_bal = build_halo_partition(inv[ei], n, p)
+    part_nat = build_halo_partition(ei, n, p, balance=False)
+    part_bal = build_halo_partition(inv[ei], n, p, balance=False)
     assert part_bal.edge_index.shape[2] < 0.7 * part_nat.edge_index.shape[2]
     # aggregation result is the original up to the permutation
     x = rng.normal(size=(n, 3)).astype(np.float32)
