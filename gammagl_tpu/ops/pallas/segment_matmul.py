@@ -468,12 +468,22 @@ def _swap_plan(plan, n_src_rows):
     return entry
 
 
+def _spmm_gather_reduce(x, w_pad, plan, interpret):
+    """Endpoint gather + weighted segment reduce, picking the
+    packed-gather kernel when the dtype/width qualifies (bf16, F % 256
+    == 0): the f32 bitcast view halves the gather engine's lane groups —
+    the dominant SpMM cost (see _packed_kernel)."""
+    if _packed_eligible(x, w_pad):
+        return _spmm_packed_forward(x, w_pad, plan, interpret)
+    msg = jnp.take(x, jnp.asarray(plan.src_pad), axis=0)
+    return _segment_matmul_pallas(msg, w_pad, plan, interpret)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _spmm_fused(x, w_pad, plan, interpret):
     """gather(x by src) + weighted segment reduce, with a transpose-plan
     backward (see _swap_plan). Weights are in the plan's padded order."""
-    msg = jnp.take(x, jnp.asarray(plan.src_pad), axis=0)
-    return _segment_matmul_pallas(msg, w_pad, plan, interpret)
+    return _spmm_gather_reduce(x, w_pad, plan, interpret)
 
 
 def _spmm_fused_fwd(x, w_pad, plan, interpret):
@@ -486,8 +496,8 @@ def _spmm_fused_bwd(plan, interpret, res, g):
     # dx[s] = sum_{e: src(e)=s} w_e g[dst_e]: the transpose-graph SpMM
     w_ext = jnp.concatenate([w_pad, jnp.zeros(1, w_pad.dtype)])
     w_t = jnp.take(w_ext, jnp.asarray(np.minimum(lane_map, plan.E_pad)))
-    g_rows_t = jnp.take(g.astype(x.dtype), jnp.asarray(tp.src_pad), axis=0)
-    dx = _segment_matmul_pallas(g_rows_t, w_t, tp, interpret)[:x.shape[0]]
+    dx = _spmm_gather_reduce(g.astype(x.dtype), w_t, tp,
+                             interpret)[:x.shape[0]]
     # dw[e] = <x[src_e], g[dst_e]> in forward-plan order (SDDMM); dead-code
     # eliminated by XLA when weights are constants (GCN norms)
     rows = jnp.asarray(np.minimum(plan.row_global,
@@ -501,6 +511,87 @@ def _spmm_fused_bwd(plan, interpret, res, g):
 
 
 _spmm_fused.defvjp(_spmm_fused_fwd, _spmm_fused_bwd)
+
+
+def _packed_eligible(x, w_pad):
+    """bf16 features whose half-width is a whole number of 128-lane
+    groups (and fits one feature tile) ride the packed-gather kernel."""
+    return (x.dtype == jnp.bfloat16 and x.ndim == 2
+            and x.shape[1] % 256 == 0 and x.shape[1] // 2 <= 512)
+
+
+def _packed_kernel(tb_ref, tf_ref, lr_ref, w_ref, g_ref, out_ref, *,
+                   R, ET):
+    """Packed-gather segment matmul: g holds (ET, F/2) f32 words, each
+    packing two adjacent bf16 feature columns. The TPU gather engine is
+    lane-GROUP-rate-bound (PERF_NOTES 'gather wall part 2': 1 group ->
+    328 Mrows/s, 2 -> ~213), so gathering the f32 bitcast view halves
+    the dominant cost of the SpMM at F=256. The kernel splits each 32-bit
+    word into its two bf16 halves with u32 shifts/masks (in-register, no
+    relayout copy) and reduces both halves with one-hot matmuls; the
+    output lands as [even cols | odd cols] and the caller restores the
+    interleave with one transpose. Bit-identical to the unpacked kernel
+    (measured maxerr 0 at arxiv scale); 182 -> 210M edges/s on chip.
+    """
+    t = pl.program_id(0)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0) == lr_ref[0])
+    w32 = jax.lax.bitcast_convert_type(g_ref[:], jnp.uint32)
+    # little-endian packing: word = (odd bf16 << 16) | even bf16; a bf16
+    # placed in the high half of an f32 word IS that value as f32
+    even = jax.lax.bitcast_convert_type(
+        w32 << 16, jnp.float32).astype(jnp.bfloat16)
+    odd = jax.lax.bitcast_convert_type(
+        w32 & jnp.uint32(0xFFFF0000), jnp.float32).astype(jnp.bfloat16)
+    oh = jnp.where(sel, w_ref[0].astype(jnp.float32),
+                   0.0).astype(jnp.bfloat16)
+    acc = jnp.concatenate(
+        [jnp.dot(oh, even, preferred_element_type=jnp.float32),
+         jnp.dot(oh, odd, preferred_element_type=jnp.float32)], axis=1)
+
+    @pl.when(tf_ref[t] == 1)
+    def _():
+        out_ref[:] = acc.astype(out_ref.dtype)
+
+    @pl.when(tf_ref[t] == 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc.astype(out_ref.dtype)
+
+
+def _spmm_packed_forward(x, w_pad, plan, interpret):
+    """gather (f32 bitcast view) + packed-unpack reduce. Returns the
+    full (nblocks*R, F) table like _spmm_fused's forward."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    R, ET, T, nb = plan.R, plan.ET, plan.T, plan.nblocks
+    N, F = x.shape
+    F2 = F // 2
+    hf = jax.lax.bitcast_convert_type(x.reshape(N, F2, 2), jnp.float32)
+    g = jnp.take(hf, jnp.asarray(plan.src_pad), axis=0)
+    kern = partial(_packed_kernel, R=R, ET=ET)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, ET), lambda t, tb, tf: (t, 0, 0)),
+            pl.BlockSpec((1, 1, ET), lambda t, tb, tf: (t, 0, 0)),
+            pl.BlockSpec((ET, F2), lambda t, tb, tf: (t, 0)),
+        ],
+        out_specs=pl.BlockSpec((R, F), lambda t, tb, tf: (tb[t], 0)),
+    )
+    out = pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * R, F), jnp.bfloat16),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * R * ET * F * T,
+            bytes_accessed=plan.E_pad * F2 * 4 + nb * R * F * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(plan.tile_block), jnp.asarray(plan.tile_first),
+      jnp.asarray(plan.local_row.reshape(T, 1, ET)),
+      w_pad.astype(jnp.float32).reshape(T, 1, ET), g)
+    # [evens | odds] -> natural column interleave
+    return out.reshape(nb * R, 2, F2).transpose(0, 2, 1).reshape(
+        nb * R, F)
 
 
 class BlockedCSRPlan:

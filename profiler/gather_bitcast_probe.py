@@ -1,25 +1,27 @@
-"""Probe: does viewing bf16 rows as wider lanes lift the gather wall?
+"""Probe: does bitcasting bf16 features to wider lanes beat the gather
+wall?
 
-PERF_NOTES round-1 table: row-gather rate depends on the number of
-128-LANE column groups, not bytes (int8 F=256 == bf16 F=256 == 2 groups
-at ~212-222 Mrows/s; bf16 F=128 == 1 group at ~328 Mrows/s). Untested
-corollary: bitcast bf16 (N, 256) -> int32 (N, 128) makes the SAME 512
-bytes/row ONE column group — if the engine charges per lane group, the
-reinterpreted gather (including the bitcasts) should approach ~328
-Mrows/s, ~1.5x effective bandwidth for SpMM feature gathers.
+PERF_NOTES 'gather wall part 2': row-gather rate is set by the number of
+128-lane column groups, not bytes/row (bf16 F=128 -> 328 Mrows/s; any
+2-group layout -> ~213; 4 groups -> ~108). A (N, 256) bf16 matrix IS a
+(N, 128) f32 matrix byte-for-byte — one lane group. If the engine rates
+the f32 view at the 1-group speed, the SpMM's dominant gather drops from
+~10.8 ms to ~7 ms at arxiv scale. bitcast+reshape restores the exact
+bf16 column order (packing inverse), and SpMM is feature-wise
+independent, so even a fixed interleave would be correctness-neutral.
 
-Chained-timing discipline per verify SKILL: distinct buffers, K
-data-dependent steps inside one jit, one scalar fetch.
+Usage: python profiler/gather_bitcast_probe.py
 """
+import sys
+import os.path as osp
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
-import argparse
 import time
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-K = 8
+K = 16
 
 
 def chain_time(step, x0, reps=3):
@@ -27,15 +29,14 @@ def chain_time(step, x0, reps=3):
     def run(x):
         def body(h, _):
             h = step(h)
-            h = h / (jnp.max(jnp.abs(h.astype(jnp.float32))) + 1.0)
-            return h.astype(x.dtype), ()
+            return h, ()
         h, _ = jax.lax.scan(body, x, None, length=K)
         return h.astype(jnp.float32).sum()
 
     float(run(x0))
     ts = []
     for r in range(reps):
-        xr = x0 + jnp.asarray(r, x0.dtype)
+        xr = x0 + r
         t0 = time.perf_counter()
         float(run(xr))
         ts.append(time.perf_counter() - t0)
@@ -43,44 +44,54 @@ def chain_time(step, x0, reps=3):
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=169_343)
-    ap.add_argument("--e", type=int, default=2_315_598)
-    ap.add_argument("--f", type=int, default=256)
-    args = ap.parse_args()
-    n, e, f = args.n, args.e, args.f
+    N, E, F = 169_343, 2_315_598, 256
     rng = np.random.default_rng(0)
-    idx = jax.device_put(rng.integers(0, n, e).astype(np.int32))
-    x0 = jax.device_put(rng.normal(size=(n, f)).astype(jnp.bfloat16))
-    jax.block_until_ready(x0 + 0)
-    jax.block_until_ready(idx * 1)
-    eps = jnp.bfloat16(2 ** -14)
+    idx = jnp.asarray(rng.integers(0, N, E).astype(np.int32))
+    x16 = jnp.asarray(rng.normal(size=(N, F)), jnp.bfloat16)
+    jax.block_until_ready((idx, x16))
 
-    def plain(h):
-        g = jnp.take(h, idx, axis=0)          # (E, F) — the wall
-        return h + g[:n] * eps                # cheap fold, not DCE-able
+    def fold(g):
+        # consume the gathered rows; keep chain state (N, F) bf16
+        s = jnp.sum(g.astype(jnp.float32))
+        return (0 * s).astype(jnp.bfloat16)
 
-    def bitcast32(h):
-        v = jax.lax.bitcast_convert_type(
-            h.reshape(n, f // 2, 2), jnp.int32)        # (N, F/2)
-        g = jnp.take(v, idx, axis=0)                   # (E, F/2)
-        back = jax.lax.bitcast_convert_type(g[:n], jnp.bfloat16)
-        return h + back.reshape(n, f) * eps
+    def g_bf16(x):
+        g = jnp.take(x, idx, axis=0)
+        return x + fold(g)
+    t = chain_time(g_bf16, x16)
+    print(f"bf16 F={F} direct gather: {t * 1e3:7.2f} ms "
+          f"{E / t / 1e6:6.1f} Mrows/s", flush=True)
 
-    def bitcast_f32(h):
-        v = jax.lax.bitcast_convert_type(
-            h.reshape(n, f // 2, 2), jnp.float32)
-        g = jnp.take(v, idx, axis=0)
-        back = jax.lax.bitcast_convert_type(g[:n], jnp.bfloat16)
-        return h + back.reshape(n, f) * eps
+    def g_f32view(x):
+        xf = jax.lax.bitcast_convert_type(
+            x.reshape(N, F // 2, 2), jnp.float32)  # (N, 128)
+        g = jax.lax.bitcast_convert_type(
+            jnp.take(xf, idx, axis=0), jnp.bfloat16)  # (E,128,2)
+        return x + fold(g)
+    t = chain_time(g_f32view, x16)
+    print(f"f32-bitcast view (128 lanes): {t * 1e3:7.2f} ms "
+          f"{E / t / 1e6:6.1f} Mrows/s", flush=True)
 
-    for name, fn in [("bf16 take", plain),
-                     ("int32-view take", bitcast32),
-                     ("f32-view take", bitcast_f32)]:
-        dt = chain_time(fn, x0)
-        rate = e / dt
-        print(f"{name:18s} {dt * 1e3:7.2f} ms  {rate / 1e6:6.0f} Mrows/s  "
-              f"{rate * f * 2 / 1e9:6.0f} GB/s", flush=True)
+    # correctness: bitcast+reshape restores exact bf16 columns
+    xf = jax.lax.bitcast_convert_type(
+        x16.reshape(N, F // 2, 2), jnp.float32)
+    back = jax.lax.bitcast_convert_type(
+        jnp.take(xf, idx[:64], axis=0), jnp.bfloat16).reshape(64, F)
+    ref = jnp.take(x16, idx[:64], axis=0)
+    same = bool(jnp.all(back == ref))
+    print(f"bitcast roundtrip exact: {same}")
+
+    # how far does packing go? 2x f32 per lane via f32 pairs (no wider
+    # dtype on TPU) — probe the f32 F=128 native case for the rate curve
+    x32 = jnp.asarray(rng.normal(size=(N, 128)), jnp.float32)
+    jax.block_until_ready(x32)
+
+    def g_f32native(x):
+        g = jnp.take(x, idx, axis=0)
+        return x + 0 * jnp.sum(g.astype(jnp.float32))
+    t = chain_time(g_f32native, x32)
+    print(f"f32 F=128 native gather: {t * 1e3:7.2f} ms "
+          f"{E / t / 1e6:6.1f} Mrows/s", flush=True)
 
 
 if __name__ == "__main__":

@@ -121,7 +121,7 @@ def main():
             json.dump(payload, f, indent=1)
         print(f"wrote {args.json}")
     if bad:
-        print("failures:", ", ".join(d for d, _ in bad))
+        print("failures:", ", ".join(d for d, *_ in bad))
         sys.exit(1)
 
 

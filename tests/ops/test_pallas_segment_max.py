@@ -144,7 +144,7 @@ def test_segment_max_segment_spans_tiles():
     src = np.arange(e) % 7
     dst = np.zeros(e, np.int64)
     x = np.random.default_rng(6).normal(size=(7, 3)).astype(np.float32)
-    plan = build_csr_plan(src, dst, 2, R=8, ET=16)
+    plan = build_csr_plan(src, dst, 2, num_src=7, R=8, ET=16)
     ref = segment_max(jnp.asarray(x[src]), jnp.asarray(dst), 2)
     out = segment_max_csr(jnp.asarray(_msg_in_plan_order(plan, x[src])),
                           plan, interpret=INTERP)
