@@ -208,7 +208,11 @@ class Graph(BaseGraph):
         from gammagl_tpu.parallel.halo import reorder_bandwidth
         ei = np.asarray(self.edge_index)
         perm, inv = reorder_bandwidth(ei, self.num_nodes)
+        return self._permuted(perm, inv), perm
+
+    def _permuted(self, perm, inv):
         n = self.num_nodes
+        ei = np.asarray(self.edge_index)
         attrs = {}
         for k, v in self.items():
             if k == "edge_index":
@@ -217,7 +221,53 @@ class Graph(BaseGraph):
                 attrs[k] = np.asarray(v)[perm]
             else:
                 attrs[k] = v
-        return Graph(num_nodes=n, **attrs), perm
+        return Graph(num_nodes=n, **attrs)
+
+    def reorder_cluster(self, rounds=8):
+        """Community-clustering relabeling (vectorized label propagation,
+        parallel/partition.py:cluster_permutation): lays nodes out
+        cluster-contiguously so the (dst_block, src_block) tiling of the
+        gather-free block-pair kernel is dense. Complements
+        `reorder_rcm` (bandwidth): LP wins on clustered/social graphs,
+        RCM on banded meshes. Returns (graph', perm)."""
+        from gammagl_tpu.parallel.partition import cluster_permutation
+        perm, inv = cluster_permutation(np.asarray(self.edge_index),
+                                        self.num_nodes, rounds=rounds)
+        return self._permuted(perm, inv), perm
+
+    def reorder_best(self, R=256, S=256, ET=256, rounds=8):
+        """Try natural / RCM / label-propagation orders and keep the one
+        with the highest block-pair fill (the quantity that decides the
+        gather-free kernel's crossover — PERF_NOTES). O(E log E) per
+        candidate, no plan materialization. Returns
+        (graph', perm, name, fill); natural order returns (self,
+        identity, 'natural', fill)."""
+        ei = np.asarray(self.edge_index)
+        n = self.num_nodes
+
+        def fill_of(e):
+            pair = ((e[1] // R).astype(np.int64) * (1 + n // S)
+                    + e[0] // S)
+            _, counts = np.unique(pair, return_counts=True)
+            return e.shape[1] / max(int((-(-counts // ET) * ET).sum()), 1)
+
+        best = ("natural", np.arange(n), np.arange(n), fill_of(ei))
+        from gammagl_tpu.parallel.halo import reorder_bandwidth
+        from gammagl_tpu.parallel.partition import cluster_permutation
+        for name, fn in (("rcm", lambda: reorder_bandwidth(ei, n)),
+                         ("cluster", lambda: cluster_permutation(
+                             ei, n, rounds=rounds))):
+            try:
+                perm, inv = fn()
+            except Exception:   # scipy missing etc.
+                continue
+            f = fill_of(inv[ei])
+            if f > best[3]:
+                best = (name, perm, inv, f)
+        name, perm, inv, fill = best
+        if name == "natural":
+            return self, perm, name, fill
+        return self._permuted(perm, inv), perm, name, fill
 
     def block_pair_fill(self, R=256, S=256, ET=256):
         """O(E) estimate of the block-pair plan's fill_ratio — unique
@@ -232,31 +282,46 @@ class Graph(BaseGraph):
         e_pad = int((-(-counts // ET) * ET).sum())
         return ei.shape[1] / max(e_pad, 1)
 
-    def auto_plan(self, fill_threshold=0.8, R=256, S=256, ET=256):
+    def auto_plan(self, fill_threshold=0.8, R=256, S=256, ET=256,
+                  hybrid_threshold=0.25):
         """Pick the best Pallas SpMM layout by the measured crossover
         rule (PERF_NOTES.md): the gather-free block-pair kernel when the
-        (dst_block, src_block) tiling is dense enough (fill >= 0.8,
-        typical after `reorder_rcm()`), the CSR gather plan otherwise.
-        The fill test is O(E); the block-pair plan is only built (and
-        cached per (R, S, ET)) when it passes. The returned object goes
+        whole (dst_block, src_block) tiling is dense (fill >= 0.8,
+        typical after `reorder_rcm()`/`reorder_cluster()`); a
+        `HybridPlan` when at least ``hybrid_threshold`` of the edges sit
+        in dense pairs (those go gather-free, the scattered tail keeps
+        the CSR gather kernel); the CSR plan otherwise. The fill test is
+        O(E); plans are cached per (R, S, ET). The returned object goes
         into any conv's `plan=` argument."""
         key = (R, S, ET)
         cache = getattr(self, "_bp_plans", None)
         if cache is None:
             cache = {}
             object.__setattr__(self, "_bp_plans", cache)
-        fill, plan = cache.get(key, (None, None))
-        if fill is None:
-            fill = self.block_pair_fill(R, S, ET)
-            cache[key] = (fill, None)
-        if fill < fill_threshold:
-            return self.csr_plan()
-        if plan is None:
+        if key in cache and cache[key][1] is not None:
+            return cache[key][1]
+        ei = np.asarray(self.edge_index)
+        fill = self.block_pair_fill(R, S, ET)
+        if fill >= fill_threshold:
             from gammagl_tpu.ops.pallas import build_block_pair_plan
-            ei = np.asarray(self.edge_index)
             plan = build_block_pair_plan(ei[0], ei[1], self.num_nodes,
                                          R=R, S=S, ET=ET)
             cache[key] = (fill, plan)
+            return plan
+        # dense-pair fraction (pairs holding >= 0.75*ET real edges)
+        pair = ((ei[1] // R).astype(np.int64)
+                * (1 + self.num_nodes // S) + ei[0] // S)
+        _, inverse, counts = np.unique(pair, return_inverse=True,
+                                       return_counts=True)
+        dense_frac = float((counts[inverse] >= (3 * ET) // 4).mean())
+        if dense_frac >= hybrid_threshold:
+            from gammagl_tpu.ops.pallas import build_hybrid_plan
+            plan = build_hybrid_plan(ei[0], ei[1], self.num_nodes,
+                                     R=R, S=S, ET=ET)
+            cache[key] = (fill, plan)
+            return plan
+        plan = self.csr_plan()
+        cache[key] = (fill, plan)
         return plan
 
     def csc_plan(self, R=256, ET=None, num_src_blocks=None):

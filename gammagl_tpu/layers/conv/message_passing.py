@@ -61,16 +61,17 @@ class MessagePassing(nn.Module):
             # CSRPlan -> gather + MXU segment matmul; BlockPairPlan
             # (Graph.auto_plan on banded graphs) -> gather-free one-hot
             # matmuls against VMEM-resident source blocks
-            from gammagl_tpu.ops.pallas import (BlockPairPlan,
+            from gammagl_tpu.ops.pallas import (BlockPairPlan, HybridPlan,
                                                 spmm_block_pair, spmm_csr,
-                                                spmm_max_csr)
+                                                spmm_hybrid, spmm_max_csr)
             if aggr == "max":
-                if isinstance(plan, BlockPairPlan):
+                if isinstance(plan, (BlockPairPlan, HybridPlan)):
                     return spmm(edge_index, edge_weight, x,
                                 num_nodes=num_nodes, reduce="max")
                 # segmented-scan + one-hot-pick kernel (segment_max.py)
                 return spmm_max_csr(x, edge_weight, plan)
             kernel = (spmm_block_pair if isinstance(plan, BlockPairPlan)
+                      else spmm_hybrid if isinstance(plan, HybridPlan)
                       else spmm_csr)
             if aggr == "sum":
                 return kernel(x, edge_weight, plan)

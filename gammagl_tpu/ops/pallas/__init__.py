@@ -20,6 +20,9 @@ from gammagl_tpu.ops.pallas.block_pair import (  # noqa: F401
     BlockPairPlan,
     build_block_pair_plan,
     spmm_block_pair,
+    HybridPlan,
+    build_hybrid_plan,
+    spmm_hybrid,
 )
 from gammagl_tpu.ops.pallas.flash_attention import (  # noqa: F401
     flash_edge_attention,
@@ -49,4 +52,5 @@ __all__ = ["CSRPlan", "BlockedCSRPlan", "build_csr_plan",
            "flash_edge_attention_mh", "flash_softmax_spmm_mh",
            "attention_keep_mask", "BlockPairPlan",
            "build_block_pair_plan", "spmm_block_pair",
-           "sddmm_csr", "sddmm_csr_mh"]
+           "sddmm_csr", "sddmm_csr_mh",
+           "HybridPlan", "build_hybrid_plan", "spmm_hybrid"]

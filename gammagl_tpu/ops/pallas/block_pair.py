@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["BlockPairPlan", "build_block_pair_plan", "spmm_block_pair"]
+__all__ = ["BlockPairPlan", "build_block_pair_plan", "spmm_block_pair",
+           "HybridPlan", "build_hybrid_plan", "spmm_hybrid"]
 
 
 def _cdiv(a, b):
@@ -294,3 +295,98 @@ def spmm_block_pair(x, edge_weight, plan, interpret=False,
     w_pad = edge_weight if weights_padded else _w_padded(
         edge_weight, plan, jnp.float32)
     return _spmm_block_pair(x, w_pad, plan, interpret)
+
+
+class HybridPlan:
+    """Dense (dst_block, src_block) pairs on the gather-free block-pair
+    kernel + the scattered tail on the CSR-gather kernel.
+
+    Real graphs are rarely uniformly banded: even a perfectly recovered
+    community ordering (`Graph.reorder_cluster`) leaves a scattered
+    cross-cluster tail whose near-empty pairs would pad the pure
+    block-pair plan to uselessness (fill << 0.8), while the dense
+    intra-community pairs are exactly where the HBM gather is wasted.
+    The hybrid takes each regime's best kernel: pairs holding >=
+    `dense_threshold` edges aggregate via VMEM-resident one-hot matmuls
+    (no gather), the rest ride the packed-gather CSR kernel — the
+    gather's row count shrinks by the dense fraction. Both partial sums
+    add; per-edge weights in ORIGINAL edge order follow each sub-plan's
+    remapped perm.
+    """
+
+    def __init__(self, bp, csr, num_nodes, num_edges, dense_frac):
+        self.bp = bp            # BlockPairPlan or None (no dense pairs)
+        self.csr = csr          # CSRPlan or None (everything dense)
+        self.num_nodes = int(num_nodes)
+        self.num_edges = int(num_edges)
+        self.dense_frac = float(dense_frac)
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+    def __repr__(self):
+        return (f"HybridPlan(N={self.num_nodes}, E={self.num_edges}, "
+                f"dense={self.dense_frac:.2f}, bp={self.bp!r}, "
+                f"csr={self.csr!r})")
+
+
+def build_hybrid_plan(src, dst, num_nodes, num_src=None, R=256, S=256,
+                      ET=256, dense_threshold=None, csr_R=128,
+                      csr_ET=512):
+    """Split edges by (dst_block, src_block) pair occupancy (host-side).
+
+    ``dense_threshold`` (default 0.75*ET) is the minimum real edges a
+    pair must hold to go gather-free; sub-plan perms are remapped to the
+    ORIGINAL edge ids so one weight vector serves both kernels.
+    """
+    from gammagl_tpu.ops.pallas.segment_matmul import build_csr_plan
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    E = int(src.shape[0])
+    num_src = int(num_src if num_src is not None else num_nodes)
+    if dense_threshold is None:
+        dense_threshold = (3 * ET) // 4
+    pair = (dst // R) * (1 + num_src // S) + (src // S)
+    uniq, inverse, counts = np.unique(pair, return_inverse=True,
+                                      return_counts=True)
+    dense = counts[inverse] >= dense_threshold
+    d_idx = np.nonzero(dense)[0]
+    t_idx = np.nonzero(~dense)[0]
+
+    bp = None
+    if len(d_idx):
+        bp = build_block_pair_plan(src[d_idx], dst[d_idx], num_nodes,
+                                   num_src, R=R, S=S, ET=ET)
+        bp.w_perm = np.where(bp.w_perm < len(d_idx),
+                             d_idx[np.minimum(bp.w_perm,
+                                              len(d_idx) - 1)],
+                             E).astype(np.int32)
+        bp.num_edges = E
+    csr = None
+    if len(t_idx):
+        csr = build_csr_plan(src[t_idx], dst[t_idx], num_nodes,
+                             num_src=num_src, R=csr_R, ET=csr_ET)
+        csr.perm = np.where(csr.perm < len(t_idx),
+                            t_idx[np.minimum(csr.perm, len(t_idx) - 1)],
+                            E).astype(np.int32)
+        csr.num_edges = E
+    return HybridPlan(bp, csr, num_nodes, E, len(d_idx) / max(E, 1))
+
+
+def spmm_hybrid(x, edge_weight, plan: HybridPlan, interpret=False):
+    """out[d] = sum w_sd x[s] over BOTH sub-plans (see HybridPlan).
+
+    ``edge_weight`` is in the caller's original edge order ((E,) or
+    None); each sub-plan's remapped perm routes it."""
+    from gammagl_tpu.ops.pallas.segment_matmul import spmm_csr
+    out = None
+    if plan.bp is not None:
+        out = spmm_block_pair(x, edge_weight, plan.bp, interpret)
+    if plan.csr is not None:
+        part = spmm_csr(x, edge_weight, plan.csr,
+                        interpret)[:plan.num_nodes]
+        out = part if out is None else out + part
+    return out
