@@ -150,11 +150,14 @@ class GATV2Conv(MessagePassing):
             # score from two plan-order gathers and runs softmax +
             # aggregate as ONE flash kernel per head (arbitrary-score
             # variant, slope=1 identity); dropout fuses via keep_pad.
-            from gammagl_tpu.ops.pallas import (flash_softmax_spmm_mh,
-                                                plan_gather_dst,
+            from gammagl_tpu.ops.pallas import (expand_dst_csr,
+                                                flash_softmax_spmm_mh,
                                                 plan_gather_src)
             g_l = plan_gather_src(x_l.reshape(-1, H * F), plan)
-            g_r = plan_gather_dst(x_r.reshape(-1, H * F), plan)
+            # dst side expands from dense (R, F) blocks on the MXU —
+            # no second trip through the gather engine (~5x at arxiv
+            # scale; see ops/pallas/sddmm_csr.py:expand_dst_csr)
+            g_r = expand_dst_csr(x_r.reshape(-1, H * F), plan)
             feat = nn.leaky_relu(
                 (g_l + g_r).reshape(-1, H, F), self.negative_slope)
             e = jnp.einsum("ehf,hf->eh", feat, att[0])

@@ -40,6 +40,7 @@ from gammagl_tpu.ops.pallas.attention import (  # noqa: F401
 from gammagl_tpu.ops.pallas.sddmm_csr import (  # noqa: F401
     sddmm_csr,
     sddmm_csr_mh,
+    expand_dst_csr,
 )
 
 __all__ = ["CSRPlan", "BlockedCSRPlan", "build_csr_plan",
@@ -52,5 +53,5 @@ __all__ = ["CSRPlan", "BlockedCSRPlan", "build_csr_plan",
            "flash_edge_attention_mh", "flash_softmax_spmm_mh",
            "attention_keep_mask", "BlockPairPlan",
            "build_block_pair_plan", "spmm_block_pair",
-           "sddmm_csr", "sddmm_csr_mh",
+           "sddmm_csr", "sddmm_csr_mh", "expand_dst_csr",
            "HybridPlan", "build_hybrid_plan", "spmm_hybrid"]

@@ -594,6 +594,75 @@ def _spmm_packed_forward(x, w_pad, plan, interpret):
         nb * R, F)
 
 
+def segment_matmul_dyn_packed(g_packed, w2d, local_row, tile_block,
+                              tile_first, *, R, ET, nblocks,
+                              interpret=False):
+    """Packed-gather segment matmul with TRACED layout operands (the
+    `segment_matmul_dyn` analog of `_spmm_packed_forward`) — for the
+    shard_map halo tiers, whose per-device plans arrive as sliced jnp
+    arrays. ``g_packed`` is (T*ET, F/2) f32, the gather of the bf16
+    feature table's f32 bitcast view. Returns (nblocks*R, F) bf16 in
+    natural column order. NOT differentiable — callers must provide
+    their own backward (the planned halo tiers run dx = A^T g via the
+    transpose partition, bypassing autodiff here).
+    """
+    interpret = interpret or jax.default_backend() != "tpu"
+    T = int(tile_block.shape[0])
+    E_pad, F2 = g_packed.shape
+    assert E_pad == T * ET, (E_pad, T, ET)
+    F = 2 * F2
+    local_row = local_row.reshape(T, 1, ET)
+    w2d = w2d.reshape(T, 1, ET)
+
+    def kernel(tb_ref, tf_ref, lr_ref, w_ref, g_ref, out_ref):
+        t = pl.program_id(0)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0)
+               == lr_ref[0])
+        w32 = jax.lax.bitcast_convert_type(g_ref[:], jnp.uint32)
+        even = jax.lax.bitcast_convert_type(
+            w32 << 16, jnp.float32).astype(jnp.bfloat16)
+        odd = jax.lax.bitcast_convert_type(
+            w32 & jnp.uint32(0xFFFF0000), jnp.float32).astype(
+                jnp.bfloat16)
+        oh = jnp.where(sel, w_ref[0].astype(jnp.float32),
+                       0.0).astype(jnp.bfloat16)
+        acc = jnp.concatenate(
+            [jnp.dot(oh, even, preferred_element_type=jnp.float32),
+             jnp.dot(oh, odd, preferred_element_type=jnp.float32)],
+            axis=1)
+
+        @pl.when(tf_ref[t] == 1)
+        def _():
+            out_ref[:] = acc.astype(out_ref.dtype)
+
+        @pl.when(tf_ref[t] == 0)
+        def _():
+            out_ref[:] = out_ref[:] + acc.astype(out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, ET), lambda t, tb, tf: (t, 0, 0)),
+            pl.BlockSpec((1, 1, ET), lambda t, tb, tf: (t, 0, 0)),
+            pl.BlockSpec((ET, F2), lambda t, tb, tf: (t, 0)),
+        ],
+        out_specs=pl.BlockSpec((R, F), lambda t, tb, tf: (tb[t], 0)),
+    )
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nblocks * R, F), jnp.bfloat16),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * R * ET * F * T,
+            bytes_accessed=E_pad * F2 * 4 + nblocks * R * F * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(tile_block, tile_first, local_row, w2d, g_packed)
+    return out.reshape(nblocks * R, 2, F2).transpose(0, 2, 1).reshape(
+        nblocks * R, F)
+
+
 class BlockedCSRPlan:
     """Per-source-block sub-plans (hashable by identity, like CSRPlan).
 

@@ -34,8 +34,8 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gammagl_tpu.ops import segment_sum
-from gammagl_tpu.ops.pallas.segment_matmul import (build_csr_plan,
-                                                   segment_matmul_dyn_vjp)
+from gammagl_tpu.ops.pallas.segment_matmul import (
+    build_csr_plan, segment_matmul_dyn_packed, segment_matmul_dyn_vjp)
 from gammagl_tpu.parallel.halo import _balanced_relabel, _halo_sets
 from gammagl_tpu.parallel.hier_halo import (HierHaloPartition,
                                             build_hier_halo_partition)
@@ -340,13 +340,15 @@ def make_halo_spmm_planned(mesh: Mesh, part: PlannedHaloPartition,
     million edges — embedded-literal programs scale O(E) in bytes and
     break remote compilation (HTTP 413) at papers100M shard scale.
     """
-    fn, consts = _planned_spmm_callable(mesh, part, axis, kernel,
-                                        interpret)
     has_t = part.transpose is not None
+    # packed gather only when the transpose partition supplies the
+    # backward (the packed kernel is not differentiable)
+    fn, consts = _planned_spmm_callable(mesh, part, axis, kernel,
+                                        interpret, allow_packed=has_t)
     if has_t:
         fn_t, consts_t = _planned_spmm_callable(
             mesh, part.transpose._replace(transpose=None), axis, kernel,
-            interpret)
+            interpret, allow_packed=True)
 
     if as_args:
         # Plan buffers become DEVICE-RESIDENT JIT ARGUMENTS instead of
@@ -413,7 +415,8 @@ def _zero_cotangents(tree):
         else jnp.zeros_like(a), tree)
 
 
-def _planned_spmm_callable(mesh, part, axis, kernel, interpret):
+def _planned_spmm_callable(mesh, part, axis, kernel, interpret,
+                           allow_packed=False):
     """shard_map halo-SpMM callable + its numpy layout buffers.
 
     Returns (fn, consts) with fn(x_sharded, *consts) -> x-like. The
@@ -433,6 +436,24 @@ def _planned_spmm_callable(mesh, part, axis, kernel, interpret):
                            nblocks * R).reshape(-1)
         return segment_sum(msg * w.reshape(-1, 1).astype(msg.dtype),
                            rows, nblocks * R + 1)[:rows_per]
+
+    def _gather_agg(tbl, src, w, lr, tb, tf):
+        # packed gather (bf16 features via the f32 bitcast view): halves
+        # the gather engine's lane groups — the dominant cost of the
+        # interior aggregation at papers100M scale (segment_matmul.py
+        # _packed_kernel; +23% whole-SpMM on chip). Non-differentiable:
+        # enabled only when the transpose partition provides dx.
+        if (allow_packed and kernel and tbl.dtype == jnp.bfloat16
+                and tbl.shape[-1] % 256 == 0
+                and tbl.shape[-1] // 2 <= 1024):
+            tpk = jax.lax.bitcast_convert_type(
+                tbl.reshape(tbl.shape[0], -1, 2), jnp.float32)
+            g = jnp.take(tpk, src, axis=0, mode="clip")
+            return segment_matmul_dyn_packed(
+                g, w.astype(jnp.float32), lr, tb, tf, R=R, ET=ET,
+                nblocks=nblocks, interpret=interpret)[:rows_per]
+        msg = jnp.take(tbl, src, axis=0, mode="clip")
+        return _agg(msg, w, lr, tb, tf)
 
     in_blocks = [(part.in_src, part.in_w, part.in_lr, part.in_tb,
                   part.in_tf)] + list(part.in_extra)
@@ -464,15 +485,14 @@ def _planned_spmm_callable(mesh, part, axis, kernel, interpret):
             src, w, lr, tb, tf = rest[5 * b:5 * b + 5]
             x_b = jax.lax.slice_in_dim(x_dep, spans[b][0], spans[b][1]) \
                 if nb > 1 else x_dep
-            msg = jnp.take(x_b, src[0], axis=0, mode="clip")
-            part_sum = _agg(msg, w[0], lr[0], tb[0], tf[0])
+            part_sum = _gather_agg(x_b, src[0], w[0], lr[0], tb[0], tf[0])
             out = part_sum if out is None else out + part_sum
             if nb > 1 and b < nb - 1:
                 out, x_dep = jax.lax.optimization_barrier((out, x_blk))
         bd_src, bd_w, bd_lr, bd_tb, bd_tf = rest[5 * nb:]
         table = recv.reshape(nparts * H, -1)
-        msg_bd = jnp.take(table, bd_src[0], axis=0, mode="clip")
-        return out + _agg(msg_bd, bd_w[0], bd_lr[0], bd_tb[0], bd_tf[0])
+        return out + _gather_agg(table, bd_src[0], bd_w[0], bd_lr[0],
+                                 bd_tb[0], bd_tf[0])
 
     # Layout constants stay numpy here; the caller chooses embed-vs-args
     # (closed-over DEVICE arrays are never acceptable: lowering fetches
@@ -651,6 +671,22 @@ def make_hier_halo_spmm_planned(mesh: Mesh, part: PlannedHierHaloPartition,
         return segment_sum(msg * w.reshape(-1, 1).astype(msg.dtype),
                            rows, nblocks * R + 1)[:rows_per]
 
+    allow_packed = kernel and part.transpose is not None
+
+    def _gather_agg(tbl, src, w, lr, tb, tf):
+        # packed gather (see _planned_spmm_callable._gather_agg)
+        if (allow_packed and tbl.dtype == jnp.bfloat16
+                and tbl.shape[-1] % 256 == 0
+                and tbl.shape[-1] // 2 <= 1024):
+            tpk = jax.lax.bitcast_convert_type(
+                tbl.reshape(tbl.shape[0], -1, 2), jnp.float32)
+            g = jnp.take(tpk, src, axis=0, mode="clip")
+            return segment_matmul_dyn_packed(
+                g, w.astype(jnp.float32), lr, tb, tf, R=R, ET=ET,
+                nblocks=nblocks, interpret=interpret)[:rows_per]
+        msg = jnp.take(tbl, src, axis=0, mode="clip")
+        return _agg(msg, w, lr, tb, tf)
+
     spec = (P((slice_ax, dp_ax)),) + (P(slice_ax, dp_ax),) * 17
 
     @partial(shard_map, mesh=mesh, in_specs=spec,
@@ -665,18 +701,16 @@ def make_hier_halo_spmm_planned(mesh: Mesh, part: PlannedHierHaloPartition,
         recv2 = jax.lax.all_to_all(send2.reshape(S, H2, -1), slice_ax,
                                    split_axis=0, concat_axis=0, tiled=False)
         # interior: depends on neither collective
-        msg = jnp.take(x_blk, in_src[0, 0], axis=0, mode="clip")
-        out = _agg(msg, in_w[0, 0], in_lr[0, 0], in_tb[0, 0], in_tf[0, 0])
+        out = _gather_agg(x_blk, in_src[0, 0], in_w[0, 0], in_lr[0, 0],
+                          in_tb[0, 0], in_tf[0, 0])
         # intra: hides the DCN all_to_all and the redistribute all_gather
-        msg = jnp.take(recv1.reshape(D * H1, -1), ia_src[0, 0], axis=0,
-                       mode="clip")
-        out = out + _agg(msg, ia_w[0, 0], ia_lr[0, 0], ia_tb[0, 0],
-                         ia_tf[0, 0])
+        out = out + _gather_agg(recv1.reshape(D * H1, -1), ia_src[0, 0],
+                                ia_w[0, 0], ia_lr[0, 0], ia_tb[0, 0],
+                                ia_tf[0, 0])
         table2 = jax.lax.all_gather(recv2, dp_ax, axis=0, tiled=False)
-        msg = jnp.take(table2.reshape(D * S * H2, -1), ir_src[0, 0],
-                       axis=0, mode="clip")
-        return out + _agg(msg, ir_w[0, 0], ir_lr[0, 0], ir_tb[0, 0],
-                          ir_tf[0, 0])
+        return out + _gather_agg(table2.reshape(D * S * H2, -1),
+                                 ir_src[0, 0], ir_w[0, 0], ir_lr[0, 0],
+                                 ir_tb[0, 0], ir_tf[0, 0])
 
     # numpy closures: device-array constants are fetched back through the
     # remote tunnel at lowering time (see make_halo_spmm_planned)

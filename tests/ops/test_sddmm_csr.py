@@ -115,3 +115,33 @@ def test_sddmm_multihead_gradients():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_expand_dst_matches_gather():
+    from gammagl_tpu.ops.pallas import expand_dst_csr
+    plan, xs, xd = _setup(seed=8, n=20, e=90, f=12)
+    got = expand_dst_csr(xd, plan)
+    ref = plan_gather_dst(xd, plan) * jnp.asarray(
+        plan.valid)[:, None].astype(xd.dtype)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_expand_dst_grad():
+    from gammagl_tpu.ops.pallas import expand_dst_csr
+    plan, xs, xd = _setup(seed=9, n=14, e=50, f=6)
+    w = jnp.asarray(np.random.default_rng(3).normal(
+        size=(plan.E_pad, 6)).astype(np.float32))
+
+    def loss_k(xd):
+        return jnp.sum(expand_dst_csr(xd, plan) * w)
+
+    def loss_ref(xd):
+        g = plan_gather_dst(xd, plan) * jnp.asarray(
+            plan.valid)[:, None].astype(xd.dtype)
+        return jnp.sum(g * w)
+
+    g1 = jax.grad(loss_k)(xd)
+    g2 = jax.grad(loss_ref)(xd)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)

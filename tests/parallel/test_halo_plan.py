@@ -327,3 +327,54 @@ def test_src_block_bounds_balance_multidevice():
     ref = _dense_ref(ei, w, x, n)
     np.testing.assert_allclose(np.asarray(out)[:n], ref, rtol=2e-4,
                                atol=2e-4)
+
+
+def test_planned_packed_gather_path_matches():
+    """bf16 F=256 engages the packed-gather kernel inside the shard_map
+    body (interpret off-TPU); value and gradient must match the dense
+    reference like the unpacked path."""
+    n, ndev = 96, 4
+    rng = np.random.default_rng(21)
+    ei = np.stack([rng.integers(0, n, 700), rng.integers(0, n, 700)])
+    w = rng.normal(size=700).astype(np.float32)
+    x = rng.normal(size=(n, 256)).astype(np.float32)
+    mesh = _mesh(ndev)
+    part = build_halo_partition_planned(ei, n, ndev, w, R=8, ET=128)
+    xs = jax.device_put(jnp.asarray(pad_nodes(x, part), jnp.bfloat16),
+                        NamedSharding(mesh, P("dp")))
+    spmm = make_halo_spmm_planned(mesh, part, kernel=True)
+    out = jax.jit(spmm)(xs)
+    ref = _dense_ref(ei, w, np.asarray(jnp.asarray(x, jnp.bfloat16),
+                                       np.float64), n)
+    np.testing.assert_allclose(
+        unpad_nodes(out, part).astype(np.float64), ref, rtol=2e-2,
+        atol=2e-1)  # bf16 features
+    g = jax.jit(jax.grad(
+        lambda v: jnp.sum(spmm(v).astype(jnp.float32) ** 2)))(xs)
+    a = np.zeros((n, n), np.float64)
+    np.add.at(a, (ei[1], ei[0]), w)
+    xd = np.asarray(jnp.asarray(x, jnp.bfloat16), np.float64)
+    refg = 2 * a.T @ (a @ xd)
+    np.testing.assert_allclose(unpad_nodes(g, part).astype(np.float64),
+                               refg, rtol=5e-2, atol=2.0)
+
+
+def test_hier_planned_packed_gather_matches():
+    from gammagl_tpu.parallel import (build_hier_halo_partition_planned,
+                                      make_hier_halo_spmm_planned)
+    n, S, D = 96, 2, 4
+    rng = np.random.default_rng(22)
+    ei = np.stack([rng.integers(0, n, 700), rng.integers(0, n, 700)])
+    w = rng.normal(size=700).astype(np.float32)
+    x = rng.normal(size=(n, 256)).astype(np.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:S * D]).reshape(S, D),
+                ("slice", "dp"))
+    part = build_hier_halo_partition_planned(ei, n, S, D, w, R=8, ET=128)
+    xs = jax.device_put(jnp.asarray(pad_nodes(x, part), jnp.bfloat16),
+                        NamedSharding(mesh, P(("slice", "dp"))))
+    out = jax.jit(make_hier_halo_spmm_planned(mesh, part))(xs)
+    ref = _dense_ref(ei, w, np.asarray(jnp.asarray(x, jnp.bfloat16),
+                                       np.float64), n)
+    np.testing.assert_allclose(
+        unpad_nodes(out, part).astype(np.float64), ref, rtol=2e-2,
+        atol=2e-1)
