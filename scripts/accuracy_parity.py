@@ -70,6 +70,31 @@ TARGETS = {
     ("rgcn", "bgs"): (74.10, "examples/rgcn/readme.md", "th"),
     ("graphsage", "reddit"): (94.90, "examples/graphsage/readme.md",
                               "th"),
+    # wave 2 (round 3): torch column when present, else best 'our'
+    ("chebnet", "cora"): (80.42, "examples/chebnet/readme.md", "th"),
+    ("chebnet", "citeseer"): (70.58, "examples/chebnet/readme.md", "th"),
+    ("chebnet", "pubmed"): (75.68, "examples/chebnet/readme.md",
+                            "tf (th OOM in reference)"),
+    ("agnn", "cora"): (83.00, "examples/agnn/readme.md", "th"),
+    ("agnn", "citeseer"): (72.52, "examples/agnn/readme.md", "th"),
+    ("agnn", "pubmed"): (79.10, "examples/agnn/readme.md", "th"),
+    ("fagcn", "cora"): (82.10, "examples/fagcn/readme.md", "th"),
+    ("fagcn", "citeseer"): (68.20, "examples/fagcn/readme.md", "th"),
+    ("fagcn", "pubmed"): (79.70, "examples/fagcn/readme.md", "th"),
+    ("hardgat", "cora"): (83.80, "examples/hardgat/readme.md", "th"),
+    ("hardgat", "citeseer"): (72.30, "examples/hardgat/readme.md", "th"),
+    ("hardgat", "pubmed"): (78.32, "examples/hardgat/readme.md", "th"),
+    ("mixhop", "cora"): (82.10, "examples/mixhop/readme.md", "th"),
+    ("mixhop", "citeseer"): (71.50, "examples/mixhop/readme.md", "th"),
+    ("mixhop", "pubmed"): (78.70, "examples/mixhop/readme.md", "th"),
+    ("dropedge", "cora"): (81.20, "examples/dropedge/readme.md",
+                           "th (DropEdge row)"),
+    ("grace", "cora"): (83.28, "examples/grace/readme.md", "th"),
+    ("grace", "citeseer"): (69.54, "examples/grace/readme.md", "th"),
+    ("dgi", "cora"): (81.19, "examples/dgi/README.md",
+                      "pd (th missing)"),
+    ("dgi", "citeseer"): (69.06, "examples/dgi/README.md", "pd"),
+    ("dgi", "pubmed"): (79.58, "examples/dgi/README.md", "th"),
 }
 
 # per-model trainer + reference hyperparameters (namespace overrides on
@@ -107,6 +132,27 @@ CONFIGS = {
                               batch_size=512, fanout1=25, fanout2=10,
                               device_cache=1, prefetch=0,
                               presample_chunks=4, resample_every=1)),
+    # wave 2
+    "chebnet": dict(trainer="chebnet/chebnet_trainer.py",
+                    datasets=["cora", "citeseer", "pubmed"], ns=dict()),
+    "agnn": dict(trainer="agnn/agnn_trainer.py",
+                 datasets=["cora", "citeseer", "pubmed"], ns=dict()),
+    "fagcn": dict(trainer="fagcn/fagcn_trainer.py",
+                  datasets=["cora", "citeseer", "pubmed"], ns=dict()),
+    "hardgat": dict(trainer="hardgat/hardgat_trainer.py",
+                    datasets=["cora", "citeseer", "pubmed"],
+                    ns=dict(hidden_dim=8)),
+    "mixhop": dict(trainer="mixhop/mixhop_trainer.py",
+                   datasets=["cora", "citeseer", "pubmed"],
+                   ns=dict(hidden_dim=60)),
+    "dropedge": dict(trainer="dropedge/dropedge_trainer.py",
+                     datasets=["cora"], ns=dict()),
+    "grace": dict(trainer="grace/grace_trainer.py",
+                  datasets=["cora", "citeseer"],
+                  ns=dict(hidden_dim=128, n_epoch=100, lr=0.0005)),
+    "dgi": dict(trainer="dgi/dgi_trainer.py",
+                datasets=["cora", "citeseer", "pubmed"],
+                ns=dict(hidden_dim=256, n_epoch=100, lr=0.001)),
 }
 
 
