@@ -194,13 +194,16 @@ def main():
 
     # speed-of-light accounting (VERDICT round-1): bytes-moved model
     # ((E gathered rows + N written rows) * F * itemsize) vs v5e HBM
-    # 819 GB/s, and vs the measured gather-engine row-rate wall
-    # (~222 Mrows/s at 512B rows, PERF_NOTES "gather wall part 2" —
-    # the engine is row-rate-bound, not byte-bound, so HBM %SoL
-    # understates how close the kernel is to the device limit).
+    # 819 GB/s, and vs the measured gather-engine row-rate wall. The
+    # engine is row-rate-bound per 128-lane column GROUP (PERF_NOTES
+    # "gather wall part 2"): the unpacked bf16 F=256 layout (2 groups)
+    # walls at ~222 Mrows/s; the packed f32-bitcast view (1 group) the
+    # kernel now gathers through walls at the 1-group rate (~328
+    # measured at F=128 bf16) — pct_of_gather_wall is reported against
+    # the PACKED wall the kernel actually faces.
     bytes_moved = (E + N) * F * itemsize
     t_sol_hbm = bytes_moved / 819e9
-    t_gather_wall = E / 222e6
+    t_gather_wall = E / 328e6
     result = {
         "metric": "spmm_edges_per_s",
         "value": round(edges_per_s),

@@ -202,29 +202,42 @@ def linear_probe(emb, d, num_classes, steps=300, lr=1e-2):
     return float(accuracy(emb @ w, d["y"], d["test_mask"]))
 
 
-def run_two_view_ssl(model, args, embed_fn, num_views_args=6):
+def run_two_view_ssl(model, args, embed_fn, num_views_args=6,
+                     drop_rates=(0.2, 0.2, 0.3, 0.3)):
     """Shared loop for two-augmented-view contrastive models whose apply
     signature is (x1, ei, w1, x2, ei, w2) -> loss (GRACE family / MERIT /
-    GRADE / MAGCL / GCIL)."""
+    GRADE / MAGCL / GCIL).
+
+    Per-view augmentation rates are PER MODEL/DATASET in the reference
+    (each trainer exposes --drop_edge_rate_{1,2}/--drop_feature_rate_{1,2},
+    reference grace_trainer.py:87-90): callers pass ``drop_rates =
+    (edge1, feat1, edge2, feat2)`` or set the matching attributes on
+    ``args`` (args wins, so the harness/CLI can sweep them).
+    """
     import optax
     from gammagl_tpu.models import drop_edge_and_feature
     from gammagl_tpu.train import TrainState
+
+    de1 = getattr(args, "drop_edge_rate_1", drop_rates[0])
+    df1 = getattr(args, "drop_feature_rate_1", drop_rates[1])
+    de2 = getattr(args, "drop_edge_rate_2", drop_rates[2])
+    df2 = getattr(args, "drop_feature_rate_2", drop_rates[3])
 
     g, num_classes = load_node_dataset(args.dataset, args.dataset_path)
     d = device_graph(g)
     x, ei = d["x"], d["edge_index"]
     key = jax.random.PRNGKey(args.seed)
     k1, k2 = jax.random.split(key)
-    x1, w1 = drop_edge_and_feature(k1, x, ei, 0.2, 0.2)
-    x2, w2 = drop_edge_and_feature(k2, x, ei, 0.3, 0.3)
+    x1, w1 = drop_edge_and_feature(k1, x, ei, de1, df1)
+    x2, w2 = drop_edge_and_feature(k2, x, ei, de2, df2)
     params = model.init(key, x1, ei, w1, x2, ei, w2)
     state = TrainState.create(params=params, tx=optax.adam(args.lr))
 
     @jax.jit
     def step(state, rng, x, ei):
         ka, kb = jax.random.split(rng)
-        xa, wa = drop_edge_and_feature(ka, x, ei, 0.2, 0.2)
-        xb, wb = drop_edge_and_feature(kb, x, ei, 0.3, 0.3)
+        xa, wa = drop_edge_and_feature(ka, x, ei, de1, df1)
+        xb, wb = drop_edge_and_feature(kb, x, ei, de2, df2)
         loss, grads = jax.value_and_grad(
             lambda p: model.apply(p, xa, ei, wa, xb, ei, wb))(state.params)
         return state.apply_gradients(grads), loss

@@ -19,8 +19,14 @@ from gammagl_tpu.models import MAGCLModel
 def main(args):
     model = MAGCLModel(hidden_dim=args.hidden_dim)
     return run_two_view_ssl(model, args,
+                            drop_rates=(0.2, 0.3, 0.4, 0.4),
                             embed_fn=lambda m, p, x, ei: m.apply(p, x, ei, None))
 
 
 if __name__ == "__main__":
-    main(base_parser(hidden_dim=128, n_epoch=100, lr=0.0005).parse_args())
+    parser = base_parser(hidden_dim=128, n_epoch=100, lr=0.0005)
+    parser.add_argument('--drop_edge_rate_1', type=float, default=0.2)
+    parser.add_argument('--drop_feature_rate_1', type=float, default=0.3)
+    parser.add_argument('--drop_edge_rate_2', type=float, default=0.4)
+    parser.add_argument('--drop_feature_rate_2', type=float, default=0.4)
+    main(parser.parse_args())
