@@ -95,6 +95,14 @@ TARGETS = {
                       "pd (th missing)"),
     ("dgi", "citeseer"): (69.06, "examples/dgi/README.md", "pd"),
     ("dgi", "pubmed"): (79.58, "examples/dgi/README.md", "th"),
+    # wave 3 (round 3): hetero + remaining homogeneous tables
+    ("gaan", "cora"): (79.11, "examples/gaan/readme.md",
+                       "tf (only backend published)"),
+    ("gmm", "cora"): (81.66, "examples/gmm/readme.md", "th"),
+    ("gmm", "pubmed"): (78.84, "examples/gmm/readme.md", "th"),
+    ("compgcn", "aifb"): (88.89, "examples/compgcn/readme.md", "th"),
+    ("hpn", "imdb"): (57.23, "examples/hpn/readme.md", "th"),
+    ("iehgcn", "imdb"): (55.22, "examples/iehgcn/readme.md", "th"),
 }
 
 # per-model trainer + reference hyperparameters (namespace overrides on
@@ -153,6 +161,19 @@ CONFIGS = {
     "dgi": dict(trainer="dgi/dgi_trainer.py",
                 datasets=["cora", "citeseer", "pubmed"],
                 ns=dict(hidden_dim=256, n_epoch=100, lr=0.001)),
+    # wave 3
+    "gaan": dict(trainer="gaan/gaan_trainer.py", datasets=["cora"],
+                 ns=dict()),
+    "gmm": dict(trainer="gmm/gmm_trainer.py",
+                datasets=["cora", "pubmed"], ns=dict()),
+    "compgcn": dict(trainer="compgcn/compgcn_trainer.py",
+                    datasets=["aifb"],
+                    ns=dict(n_epoch=50, lr=0.005)),
+    "hpn": dict(trainer="hpn/hpn_trainer.py", datasets=["imdb"],
+                ns=dict(hidden_dim=16, n_epoch=50, lr=0.005)),
+    "iehgcn": dict(trainer="iehgcn/iehgcn_trainer.py",
+                   datasets=["imdb"],
+                   ns=dict(hidden_dim=16, n_epoch=50, lr=0.005)),
 }
 
 
