@@ -12,7 +12,7 @@ The reference (BUPT-GAMMA/GammaGL) has NO full-graph story at this scale
 also extrapolates the measured per-chip rate to the full 1.62B-edge
 graph on the smallest pod slice that fits it.
 
-    python scripts/papers100m_single_chip.py --out PAPERS100M_r02.json
+    python scripts/papers100m_single_chip.py --out PAPERS100M_r03.json
 """
 
 import argparse
@@ -63,7 +63,7 @@ def main():
     ap.add_argument("--feat-dim", type=int, default=128)
     ap.add_argument("--scale", type=float, default=None,
                     help="override the HBM-solved shard scale")
-    ap.add_argument("--out", default="PAPERS100M_r02.json")
+    ap.add_argument("--out", default="PAPERS100M_r03.json")
     ap.add_argument("--R", type=int, default=1024,
                     help="kernel row-block size; large shards want a big "
                     "R to cut the >=1-tile-per-row-block floor across "
