@@ -145,6 +145,37 @@ def main(args):
               f"cache hit {fcache.hits}/{fcache.hits + fcache.misses})",
               flush=True)
 
+    # sampled TEST accuracy (the reference Reddit protocol reports test
+    # acc, reddit_sage_trainer.py): fresh sampler over test seeds, no
+    # dropout
+    test_idx = np.nonzero(np.asarray(graph.test_mask))[0] \
+        if "test_mask" in graph.keys() else train_idx
+    eval_loader = NeighborSamplerLoader(
+        np.asarray(graph.edge_index), node_idx=test_idx,
+        sample_lists=[args.fanout1, args.fanout2],
+        batch_size=args.batch_size, num_nodes=graph.num_nodes,
+        shuffle=False, seed=args.seed)
+
+    @partial(jax.jit, static_argnames=("sizes",))
+    def eval_logits(state, feats, eis, sizes):
+        return model.apply(state.params, feats, list(zip(eis, sizes)))
+
+    correct = total = 0
+    for bs, n_id, adjs in eval_loader:
+        if len(n_id) == 0:
+            continue
+        n_id_p, eis, sizes = pad_batch_ids(bs, n_id, adjs)
+        feats = fcache[n_id_p]
+        logits = eval_logits(state, feats,
+                             tuple(jnp.asarray(e) for e in eis), sizes)
+        yb = y_all[n_id[:bs]]
+        correct += int((np.asarray(jnp.argmax(logits, -1))[:bs] == yb
+                        ).sum())
+        total += int(bs)
+    acc = correct / max(total, 1)
+    print(f"test acc {acc:.4f} ({total} nodes)")
+    return acc
+
 
 if __name__ == "__main__":
     parser = base_parser(hidden_dim=64, n_epoch=3, lr=0.003)

@@ -82,6 +82,7 @@ def main(args):
     acc = accuracy(jax.jit(model.apply)(state.params, x, ei, et), y,
                    test_mask)
     print(f"final test acc {float(acc):.4f}")
+    return float(acc)
 
 
 if __name__ == "__main__":
