@@ -33,3 +33,22 @@ def test_balance_permutation_tiny_graph_identity():
     ei = np.asarray([[0, 1], [1, 2]])
     perm, inv = balance_permutation(ei, 3, 8)
     assert np.array_equal(perm, np.arange(3))
+
+
+def test_pad_unpad_nodes_roundtrip_balanced():
+    """pad_nodes applies the partition's balanced relabeling;
+    unpad_nodes inverts it exactly."""
+    from gammagl_tpu.parallel import (build_halo_partition_planned,
+                                      pad_nodes, unpad_nodes)
+    rng = np.random.default_rng(3)
+    n, e, p = 300, 3000, 4
+    dst = (n * (rng.random(e) ** 2.0)).astype(np.int64)
+    src = rng.integers(0, n, e)
+    part = build_halo_partition_planned(np.stack([src, dst]), n, p,
+                                        np.ones(e, np.float32),
+                                        R=8, ET=128)
+    assert part.node_perm is not None
+    x = rng.normal(size=(n, 5)).astype(np.float32)
+    padded = pad_nodes(x, part)
+    assert padded.shape[0] == part.num_parts * part.rows_per
+    np.testing.assert_array_equal(unpad_nodes(padded, part), x)
