@@ -98,6 +98,8 @@ def _flash_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
          m_ref, l_ref, acc_ref) = rest
     t = pl.program_id(tid)
     sel = (jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0) == lr_ref[0])
+    oh = jnp.where(sel, 1.0, 0.0)                  # (R, ET) one-hot
+    valid = (lr_ref[0] < R)                        # (1, ET)
 
     @pl.when(tf_ref[t] == 1)
     def _():
@@ -105,21 +107,52 @@ def _flash_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
         l_ref[:] = jnp.zeros((R, 1), jnp.float32)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # scores: s[r, e] = leaky_relu(s_src[e] + a_dst[r]) where edge e lands
-    # in local row r; invalid (r, e) pairs masked to -inf.
-    s = ssrc_ref[0] + adst_ref[0, 0].reshape(R, 1)
-    s = jnp.where(s >= 0, s, slope * s)
-    s = jnp.where(sel, s, _NEG)
+    # LANE-WISE scores: each edge lands in exactly one local row, so the
+    # score, leaky_relu, and exp run on (1, ET) lanes — not the dense
+    # (R, ET) grid (R x fewer transcendentals and ~half the dense VPU
+    # passes). Per-row terms expand / per-row sums contract through the
+    # EXACT one-hot matmul trick: the 0/1 one-hot is bf16-exact, so
+    # splitting only the picked f32 operand into bf16 hi+lo keeps the
+    # pick/sum bit-exact in two MXU passes.
+    oh_bf = oh.astype(jnp.bfloat16)
+
+    def _pick(v):                                  # (R,1) f32 -> (ET,1)
+        v_hi = v.astype(jnp.bfloat16)
+        v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((0,), (0,)), ((), ()))
+        return (jax.lax.dot_general(oh_bf, v_hi, dn,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(oh_bf, v_lo, dn,
+                                      preferred_element_type=jnp.float32))
+
+    def _rowsum(e_vals):                           # (1,ET) f32 -> (R,1)
+        v_hi = e_vals.astype(jnp.bfloat16)
+        v_lo = (e_vals - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((1,), (1,)), ((), ()))
+        return (jax.lax.dot_general(oh_bf, v_hi, dn,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(oh_bf, v_lo, dn,
+                                      preferred_element_type=jnp.float32))
+
+    a_e = _pick(adst_ref[0, 0].reshape(R, 1))      # a_dst[row(e)]
+    s_e = ssrc_ref[0] + a_e.reshape(1, ET)
+    s_e = jnp.where(s_e >= 0, s_e, slope * s_e)
+    s_e = jnp.where(valid, s_e, _NEG)
 
     m_old = m_ref[:]
-    m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+    sd = jnp.where(sel, s_e, _NEG)                 # dense only for max
+    m_new = jnp.maximum(m_old, jnp.max(sd, axis=1, keepdims=True))
     # rows untouched so far keep m == _NEG; exp(_NEG - _NEG) would be
     # exp(0) = 1 which is fine (acc and l are 0), but guard the rescale
     # against (-inf) - (-inf) style NaNs from the stand-in arithmetic.
     scale = jnp.exp(jnp.minimum(m_old - m_new, 0.0))
-    p = jnp.where(sel, jnp.exp(s - m_new), 0.0)
+    m_e = _pick(m_new)                             # m_new[row(e)]
+    p_e = jnp.where(valid,
+                    jnp.exp(jnp.minimum(s_e - m_e.reshape(1, ET), 0.0)),
+                    0.0)                           # ET exps, not R*ET
+    p = oh * p_e                                   # dense alpha-hat
 
-    l_ref[:] = l_ref[:] * scale + jnp.sum(p, axis=1, keepdims=True)
+    l_ref[:] = l_ref[:] * scale + _rowsum(p_e)
     if has_mask:
         # post-softmax alpha dropout: the denominator keeps the full
         # softmax mass (dropout scales alpha AFTER normalization), so the
