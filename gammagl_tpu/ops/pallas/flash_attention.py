@@ -114,24 +114,18 @@ def _flash_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
     # EXACT one-hot matmul trick: the 0/1 one-hot is bf16-exact, so
     # splitting only the picked f32 operand into bf16 hi+lo keeps the
     # pick/sum bit-exact in two MXU passes.
-    oh_bf = oh.astype(jnp.bfloat16)
+    # transposed one-hot (ET, R) for the per-row -> per-edge picks
+    ohT = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (ET, R), 1)
+        == lr_ref[0].reshape(ET, 1), 1.0, 0.0).astype(jnp.bfloat16)
 
     def _pick(v):                                  # (R,1) f32 -> (ET,1)
         v_hi = v.astype(jnp.bfloat16)
         v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        dn = (((0,), (0,)), ((), ()))
-        return (jax.lax.dot_general(oh_bf, v_hi, dn,
+        dn = (((1,), (0,)), ((), ()))
+        return (jax.lax.dot_general(ohT, v_hi, dn,
                                     preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(oh_bf, v_lo, dn,
-                                      preferred_element_type=jnp.float32))
-
-    def _rowsum(e_vals):                           # (1,ET) f32 -> (R,1)
-        v_hi = e_vals.astype(jnp.bfloat16)
-        v_lo = (e_vals - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        dn = (((1,), (1,)), ((), ()))
-        return (jax.lax.dot_general(oh_bf, v_hi, dn,
-                                    preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(oh_bf, v_lo, dn,
+                + jax.lax.dot_general(ohT, v_lo, dn,
                                       preferred_element_type=jnp.float32))
 
     a_e = _pick(adst_ref[0, 0].reshape(R, 1))      # a_dst[row(e)]
@@ -152,7 +146,7 @@ def _flash_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
                     0.0)                           # ET exps, not R*ET
     p = oh * p_e                                   # dense alpha-hat
 
-    l_ref[:] = l_ref[:] * scale + _rowsum(p_e)
+    l_ref[:] = l_ref[:] * scale + jnp.sum(p, axis=1, keepdims=True)
     if has_mask:
         # post-softmax alpha dropout: the denominator keeps the full
         # softmax mass (dropout scales alpha AFTER normalization), so the
