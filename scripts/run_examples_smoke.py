@@ -51,8 +51,7 @@ def run_one(d, timeout, force_cpu):
     trainer = find_trainer(d)
     if trainer is None:
         return d, "SKIP (no trainer)", 0.0
-    args = [sys.executable, trainer]
-    args += EXTRA_ARGS.get(d) or epoch_args(trainer)
+    extra = EXTRA_ARGS.get(d) or epoch_args(trainer)
     env = dict(os.environ)
     # never let a blackholing resolver stall a trainer mid-smoke
     env.setdefault("GGL_TPU_OFFLINE", "1")
@@ -60,6 +59,17 @@ def run_one(d, timeout, force_cpu):
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                             + " --xla_force_host_platform_device_count=8")
         env["JAX_PLATFORMS"] = "cpu"
+        # the ambient TPU plugin (sitecustomize) IGNORES the env vars —
+        # without the explicit config update each trainer queues on the
+        # single-tenant chip (and a concurrent chip user crashes it).
+        # Force the backend BEFORE the trainer's own imports.
+        code = ("import sys, runpy, jax;"
+                "jax.config.update('jax_platforms', 'cpu');"
+                f"sys.argv = {[trainer] + extra!r};"
+                f"runpy.run_path({trainer!r}, run_name='__main__')")
+        args = [sys.executable, "-c", code]
+    else:
+        args = [sys.executable, trainer] + extra
     t0 = time.perf_counter()
     try:
         r = subprocess.run(args, capture_output=True, text=True,
