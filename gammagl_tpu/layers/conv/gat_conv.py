@@ -146,10 +146,12 @@ class GATV2Conv(MessagePassing):
         x_r = lin_r(x).reshape(-1, H, F)
         if plan is not None:
             # GATv2's score is per-edge (a . leaky(W_l x_j + W_r x_i) --
-            # no endpoint decomposition), so the fused path computes the
-            # score from two plan-order gathers and runs softmax +
-            # aggregate as ONE flash kernel per head (arbitrary-score
-            # variant, slope=1 identity); dropout fuses via keep_pad.
+            # no endpoint decomposition), so the fused path gathers the
+            # src side once, expands the dst side from dense blocks on
+            # the MXU (expand_dst_csr -- no second gather-engine pass),
+            # and runs softmax + aggregate as ONE flash kernel for all
+            # heads (arbitrary-score variant, slope=1 identity); dropout
+            # fuses via keep_pad.
             from gammagl_tpu.ops.pallas import (expand_dst_csr,
                                                 flash_softmax_spmm_mh,
                                                 plan_gather_src)
