@@ -130,7 +130,8 @@ def bench_fused_gat(dtype=jnp.bfloat16, F=64):
     rng = np.random.default_rng(2)
     dst = (N * (rng.random(E) ** 1.5)).astype(np.int64)
     src = rng.integers(0, N, E)
-    plan = build_csr_plan(src, dst, N, R=256, ET=512)
+    # R=128 won the round-3 tile scan for the flash kernel too
+    plan = build_csr_plan(src, dst, N, R=128, ET=512)
     x0 = jnp.asarray(rng.normal(size=(N, F)), dtype)
     a_d = jnp.asarray(rng.normal(size=(N,)), jnp.float32)
 

@@ -98,8 +98,6 @@ def _flash_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
          m_ref, l_ref, acc_ref) = rest
     t = pl.program_id(tid)
     sel = (jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0) == lr_ref[0])
-    oh = jnp.where(sel, 1.0, 0.0)                  # (R, ET) one-hot
-    valid = (lr_ref[0] < R)                        # (1, ET)
 
     @pl.when(tf_ref[t] == 1)
     def _():
@@ -107,44 +105,19 @@ def _flash_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
         l_ref[:] = jnp.zeros((R, 1), jnp.float32)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # LANE-WISE scores: each edge lands in exactly one local row, so the
-    # score, leaky_relu, and exp run on (1, ET) lanes — not the dense
-    # (R, ET) grid (R x fewer transcendentals and ~half the dense VPU
-    # passes). Per-row terms expand / per-row sums contract through the
-    # EXACT one-hot matmul trick: the 0/1 one-hot is bf16-exact, so
-    # splitting only the picked f32 operand into bf16 hi+lo keeps the
-    # pick/sum bit-exact in two MXU passes.
-    # transposed one-hot (ET, R) for the per-row -> per-edge picks
-    ohT = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (ET, R), 1)
-        == lr_ref[0].reshape(ET, 1), 1.0, 0.0).astype(jnp.bfloat16)
-
-    def _pick(v):                                  # (R,1) f32 -> (ET,1)
-        v_hi = v.astype(jnp.bfloat16)
-        v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        dn = (((1,), (0,)), ((), ()))
-        return (jax.lax.dot_general(ohT, v_hi, dn,
-                                    preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(ohT, v_lo, dn,
-                                      preferred_element_type=jnp.float32))
-
-    a_e = _pick(adst_ref[0, 0].reshape(R, 1))      # a_dst[row(e)]
-    s_e = ssrc_ref[0] + a_e.reshape(1, ET)
-    s_e = jnp.where(s_e >= 0, s_e, slope * s_e)
-    s_e = jnp.where(valid, s_e, _NEG)
+    # scores: s[r, e] = leaky_relu(s_src[e] + a_dst[r]) where edge e lands
+    # in local row r; invalid (r, e) pairs masked to -inf.
+    s = ssrc_ref[0] + adst_ref[0, 0].reshape(R, 1)
+    s = jnp.where(s >= 0, s, slope * s)
+    s = jnp.where(sel, s, _NEG)
 
     m_old = m_ref[:]
-    sd = jnp.where(sel, s_e, _NEG)                 # dense only for max
-    m_new = jnp.maximum(m_old, jnp.max(sd, axis=1, keepdims=True))
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
     # rows untouched so far keep m == _NEG; exp(_NEG - _NEG) would be
     # exp(0) = 1 which is fine (acc and l are 0), but guard the rescale
     # against (-inf) - (-inf) style NaNs from the stand-in arithmetic.
     scale = jnp.exp(jnp.minimum(m_old - m_new, 0.0))
-    m_e = _pick(m_new)                             # m_new[row(e)]
-    p_e = jnp.where(valid,
-                    jnp.exp(jnp.minimum(s_e - m_e.reshape(1, ET), 0.0)),
-                    0.0)                           # ET exps, not R*ET
-    p = oh * p_e                                   # dense alpha-hat
+    p = jnp.where(sel, jnp.exp(s - m_new), 0.0)
 
     l_ref[:] = l_ref[:] * scale + jnp.sum(p, axis=1, keepdims=True)
     if has_mask:
@@ -201,37 +174,15 @@ def _flash_bwd_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
          dss_ref, da_ref, dmsg_ref, da_acc) = rest
     t = pl.program_id(tid)
     sel = (jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0) == lr_ref[0])
-    oh = jnp.where(sel, 1.0, 0.0)
-    valid = (lr_ref[0] < R)
 
-    # LANE-WISE alpha recompute (mirror of the forward): score, leaky,
-    # exp, and the softmax division all run on (1, ET) lanes; per-row
-    # saved statistics (m, l) and c expand via the exact transposed
-    # one-hot pick. The dense grid survives only where it must (the two
-    # gradient matmuls and the dalpha extraction).
-    ohT = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (ET, R), 1)
-        == lr_ref[0].reshape(ET, 1), 1.0, 0.0).astype(jnp.bfloat16)
-
-    def _pick(v):                                  # (R,1) f32 -> (1,ET)
-        v_hi = v.astype(jnp.bfloat16)
-        v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        dn = (((1,), (0,)), ((), ()))
-        out = (jax.lax.dot_general(ohT, v_hi, dn,
-                                   preferred_element_type=jnp.float32)
-               + jax.lax.dot_general(ohT, v_lo, dn,
-                                     preferred_element_type=jnp.float32))
-        return out.reshape(1, ET)
-
-    a_e = _pick(adst_ref[0, 0].reshape(R, 1))
-    s_pre_e = ssrc_ref[0] + a_e                              # (1, ET)
-    s_e = jnp.where(s_pre_e >= 0, s_pre_e, slope * s_pre_e)
-    m_e = _pick(m_ref[0, 0].reshape(R, 1))
-    l_e = jnp.maximum(_pick(l_ref[0, 0].reshape(R, 1)), 1e-16)
-    # exact softmax from the saved statistics; s <= m for valid lanes
-    # (m is the row max), so the min() clamp only guards pad arithmetic.
-    alpha_e = jnp.where(valid,
-                        jnp.exp(jnp.minimum(s_e - m_e, 0.0)) / l_e, 0.0)
+    s_pre = ssrc_ref[0] + adst_ref[0, 0].reshape(R, 1)       # (R, ET)
+    s = jnp.where(s_pre >= 0, s_pre, slope * s_pre)
+    m = m_ref[0, 0].reshape(R, 1)
+    l = jnp.maximum(l_ref[0, 0].reshape(R, 1), 1e-16)
+    # exact softmax from the saved statistics; zero at invalid pairs.
+    # s <= m for valid pairs (m is the row max), so the min() clamp only
+    # guards pad arithmetic (untouched rows keep m = _NEG).
+    alpha = jnp.where(sel, jnp.exp(jnp.minimum(s - m, 0.0)) / l, 0.0)
 
     msg = msg_ref[:]
     g = g_ref[:]
@@ -242,26 +193,19 @@ def _flash_bwd_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
     if has_mask:
         # out already folds the mask, so c = <out, g> is the masked inner
         # sum; the per-edge path gets the mask weight explicitly.
-        mask_e = mask_ref[0]
-        alpha_we = alpha_e * mask_e
+        dalpha = dalpha * mask_ref[0]
+        alpha_w = alpha * mask_ref[0]
     else:
-        mask_e = None
-        alpha_we = alpha_e
-    # per-edge dalpha: the (row(e), e) element of the dense matmul
-    dalpha_e = jnp.sum(oh * dalpha, axis=0).reshape(1, ET)
-    if mask_e is not None:
-        dalpha_e = dalpha_e * mask_e
-    c_e = _pick(c_ref[0, 0].reshape(R, 1))
-    ds_e = alpha_e * (dalpha_e - c_e)
-    ds_e = ds_e * jnp.where(s_pre_e >= 0, 1.0, slope)        # leaky' VJP
-    ds_e = jnp.where(valid, ds_e, 0.0)
+        alpha_w = alpha
+    c = c_ref[0, 0].reshape(R, 1)
+    ds = alpha * (dalpha - c)
+    ds = ds * jnp.where(s_pre >= 0, 1.0, slope)               # leaky' VJP
+    ds = jnp.where(sel, ds, 0.0)
 
-    # per-edge score grad IS the lane vector (one valid row per edge)
-    dss_ref[:] = ds_e.reshape(1, 1, ET)
+    # per-edge score grad: exactly one valid row per edge -> column sum
+    dss_ref[:] = jnp.sum(ds, axis=0).reshape(1, 1, ET)
 
-    # dmsg[e] = alpha_e * g_row(e): pick g's rows with the one-hot and
-    # scale lanes; (ET, R) @ (R, F) on the MXU
-    alpha_w = oh * alpha_we                                  # (R, ET)
+    # dmsg[e] = alpha_e * g_row(e): contract the R dim of alpha with g
     if f32_msg:
         dmsg = _dot3(alpha_w, gf, ((0,), (0,)), True)
     else:
@@ -270,7 +214,7 @@ def _flash_bwd_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
 
     # da_dst[r] = sum over this block's edges; accumulate across the
     # block's tiles via output revisiting
-    rowsum = jnp.sum(oh * ds_e, axis=1).reshape(1, 1, R)
+    rowsum = jnp.sum(ds, axis=1).reshape(1, 1, R)
 
     @pl.when(tf_ref[t] == 1)
     def _():
