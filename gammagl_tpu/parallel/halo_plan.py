@@ -40,6 +40,18 @@ from gammagl_tpu.parallel.halo import _balanced_relabel, _halo_sets
 from gammagl_tpu.parallel.hier_halo import (HierHaloPartition,
                                             build_hier_halo_partition)
 
+# Packed gather in the HALO tiers is opt-in (GGL_PACKED_HALO=1):
+# measured A/B at papers100M mid-shard scale (1.33M nodes / 20.7M edges,
+# 8 src blocks, 3-layer GCN): packed 2584 ms/epoch vs unpacked 1646 —
+# the src-blocked regime already keeps each gather in the fast-footprint
+# band, so halving lane groups gains little while the per-block
+# [evens|odds] un-interleave transposes of the FULL (rows, F) output
+# cost plenty. The single-array spmm_csr packed path (bench headline)
+# is unaffected and stays on (+23% measured).
+import os as _os
+_PACKED_HALO = _os.environ.get("GGL_PACKED_HALO", "0") == "1"
+
+
 __all__ = ["PlannedHaloPartition", "build_halo_partition_planned",
            "make_halo_spmm_planned", "auto_src_blocks",
            "PlannedHierHaloPartition",
@@ -443,7 +455,8 @@ def _planned_spmm_callable(mesh, part, axis, kernel, interpret,
         # interior aggregation at papers100M scale (segment_matmul.py
         # _packed_kernel; +23% whole-SpMM on chip). Non-differentiable:
         # enabled only when the transpose partition provides dx.
-        if (allow_packed and kernel and tbl.dtype == jnp.bfloat16
+        if (allow_packed and _PACKED_HALO and kernel
+                and tbl.dtype == jnp.bfloat16
                 and tbl.shape[-1] % 256 == 0
                 and tbl.shape[-1] // 2 <= 1024):
             tpk = jax.lax.bitcast_convert_type(
@@ -675,7 +688,8 @@ def make_hier_halo_spmm_planned(mesh: Mesh, part: PlannedHierHaloPartition,
 
     def _gather_agg(tbl, src, w, lr, tb, tf):
         # packed gather (see _planned_spmm_callable._gather_agg)
-        if (allow_packed and tbl.dtype == jnp.bfloat16
+        if (allow_packed and _PACKED_HALO
+                and tbl.dtype == jnp.bfloat16
                 and tbl.shape[-1] % 256 == 0
                 and tbl.shape[-1] // 2 <= 1024):
             tpk = jax.lax.bitcast_convert_type(

@@ -329,10 +329,13 @@ def test_src_block_bounds_balance_multidevice():
                                atol=2e-4)
 
 
-def test_planned_packed_gather_path_matches():
+def test_planned_packed_gather_path_matches(monkeypatch):
     """bf16 F=256 engages the packed-gather kernel inside the shard_map
-    body (interpret off-TPU); value and gradient must match the dense
-    reference like the unpacked path."""
+    body (interpret off-TPU; opt-in — see halo_plan._PACKED_HALO); value
+    and gradient must match the dense reference like the unpacked
+    path."""
+    import gammagl_tpu.parallel.halo_plan as hp
+    monkeypatch.setattr(hp, "_PACKED_HALO", True)
     n, ndev = 96, 4
     rng = np.random.default_rng(21)
     ei = np.stack([rng.integers(0, n, 700), rng.integers(0, n, 700)])
@@ -359,7 +362,9 @@ def test_planned_packed_gather_path_matches():
                                refg, rtol=5e-2, atol=2.0)
 
 
-def test_hier_planned_packed_gather_matches():
+def test_hier_planned_packed_gather_matches(monkeypatch):
+    import gammagl_tpu.parallel.halo_plan as hp
+    monkeypatch.setattr(hp, "_PACKED_HALO", True)
     from gammagl_tpu.parallel import (build_hier_halo_partition_planned,
                                       make_hier_halo_spmm_planned)
     n, S, D = 96, 2, 4
