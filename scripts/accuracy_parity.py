@@ -103,6 +103,18 @@ TARGETS = {
     ("compgcn", "aifb"): (88.89, "examples/compgcn/readme.md", "th"),
     ("hpn", "imdb"): (57.23, "examples/hpn/readme.md", "th"),
     ("iehgcn", "imdb"): (55.22, "examples/iehgcn/readme.md", "th"),
+    # wave 4 (round 3)
+    ("jknet", "cora"): (87.20, "examples/jknet/readme.md", "th"),
+    ("jknet", "citeseer"): (76.90, "examples/jknet/readme.md", "th"),
+    ("jknet", "pubmed"): (79.20, "examples/jknet/readme.md", "th"),
+    ("dna", "cora"): (80.50, "examples/dna/readme.md (group=1)", "th"),
+    ("gen", "cora"): (82.50, "examples/gen/readme.md", "th"),
+    ("gen", "citeseer"): (69.50, "examples/gen/readme.md", "th"),
+    ("gnnlfhf", "cora"): (82.05,
+                          "examples/gnnlfhf/readme.md (LF-closed)",
+                          "th"),
+    ("heco", "acm"): (88.64, "examples/heco/README.md (40 labels)",
+                      "torch"),
 }
 
 # per-model trainer + reference hyperparameters (namespace overrides on
@@ -174,6 +186,19 @@ CONFIGS = {
     "iehgcn": dict(trainer="iehgcn/iehgcn_trainer.py",
                    datasets=["imdb"],
                    ns=dict(hidden_dim=16, n_epoch=50, lr=0.005)),
+    # wave 4
+    "jknet": dict(trainer="jknet/jknet_trainer.py",
+                  datasets=["cora", "citeseer", "pubmed"], ns=dict()),
+    "dna": dict(trainer="dna/dna_trainer.py", datasets=["cora"],
+                ns=dict()),
+    "gen": dict(trainer="gen/gen_trainer.py",
+                datasets=["cora", "citeseer"],
+                ns=dict(n_epoch=30, lr=0.01, iters=2, q_threshold=0.9)),
+    "gnnlfhf": dict(trainer="gnnlfhf/gnnlfhf_trainer.py",
+                    datasets=["cora"],
+                    ns=dict(hidden_dim=64, variant="lf")),
+    "heco": dict(trainer="heco/heco_trainer.py", datasets=["acm"],
+                 ns=dict(hidden_dim=64, n_epoch=30, lr=0.005)),
 }
 
 
