@@ -13,13 +13,12 @@ import sys
 
 sys.path.insert(0, osp.join(osp.dirname(__file__), "..", ".."))
 
-from examples.common import base_parser, run_simple_node_trainer
+from examples.common import base_parser, run_simple_node_trainer, probe_num_classes
 from gammagl_tpu.models import APPNPModel
 
 
 def main(args):
-    g_probe = None  # num_classes resolved inside the runner
-    model = APPNPModel(hidden_dim=args.hidden_dim, num_class=7, itera_k=10, alpha=0.1, drop_rate=args.drop_rate)
+    model = APPNPModel(hidden_dim=args.hidden_dim, num_class=probe_num_classes(args), itera_k=10, alpha=0.1, drop_rate=args.drop_rate)
     return run_simple_node_trainer(model, args)
 
 

@@ -12,9 +12,29 @@ import jax
 import jax.numpy as jnp
 
 
+_DS_CACHE = {}
+
+
 def load_node_dataset(name, path="data"):
     """Planetoid-style node-classification graph; synthetic SBM fallback
-    when downloads are unavailable."""
+    when downloads are unavailable. Cached per (name, path) so trainers
+    can probe num_classes before building the model without re-reading."""
+    key = (name, path)
+    if key in _DS_CACHE:
+        return _DS_CACHE[key]
+    _DS_CACHE[key] = _load_node_dataset_uncached(name, path)
+    return _DS_CACHE[key]
+
+
+def probe_num_classes(args):
+    """Number of classes of the dataset the runner will load — for
+    trainers that must size their output head before calling
+    run_simple_node_trainer (cora 7 / citeseer 6 / pubmed 3 / synthetic
+    fallback 7)."""
+    return load_node_dataset(args.dataset, args.dataset_path)[1]
+
+
+def _load_node_dataset_uncached(name, path="data"):
     if name in ("cora", "citeseer", "pubmed"):
         try:
             from gammagl_tpu.data.download import network_available
@@ -30,6 +50,84 @@ def load_node_dataset(name, path="data"):
     from gammagl_tpu.datasets import synthetic_community_graph
     g = synthetic_community_graph(1000, 7, 128, avg_degree=8, seed=0)
     return g, 7
+
+
+def load_sparse_npz(path):
+    """COO ('row'/'col') or CSR ('indptr'/'indices') scipy-format .npz ->
+    (edge_index, num_nodes). The reference ships real Planetoid
+    adjacencies in this format (examples/gcil/dataset/,
+    examples/citgnn/datasets/)."""
+    d = np.load(path, allow_pickle=True)
+    n = int(d["shape"][0])
+    if "row" in d:
+        ei = np.stack([d["row"], d["col"]]).astype(np.int64)
+    else:
+        indptr, indices = d["indptr"], d["indices"]
+        row = np.repeat(np.arange(n), np.diff(indptr))
+        ei = np.stack([row, indices.astype(np.int64)])
+    return ei, n
+
+
+def structure_node_data(ei, n, num_classes=7, seed=0, feat_dim=128):
+    """Node data derived purely from a REAL adjacency when no feature/
+    label files exist offline: labels = spectral clustering of the
+    (symmetrized) graph, features = one smoothing step of a random
+    signal over it, split = Planetoid-style (20/class train, 500 val,
+    1000 test). Returns (x, y, train_mask, val_mask, test_mask)."""
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import eigsh
+    from sklearn.cluster import KMeans
+    a = sp.coo_matrix((np.ones(ei.shape[1]), (ei[0], ei[1])),
+                      shape=(n, n)).tocsr()
+    a = ((a + a.T) > 0).astype(np.float64)
+    d = np.asarray(a.sum(1)).ravel()
+    dinv = 1.0 / np.sqrt(np.maximum(d, 1))
+    # top eigenvectors of the normalized adjacency == bottom of the
+    # Laplacian, without the shift-invert solve (singular on graphs
+    # with isolated components)
+    _, vec = eigsh(sp.diags(dinv) @ a @ sp.diags(dinv), k=num_classes,
+                   which="LA")
+    y = KMeans(num_classes, n_init=4,
+               random_state=seed).fit_predict(vec)
+    rng = np.random.default_rng(seed)
+    x = np.asarray((a @ rng.normal(size=(n, feat_dim)))
+                   / np.maximum(d, 1)[:, None]).astype(np.float32)
+    perm = rng.permutation(n)
+    train_mask = np.zeros(n, bool)
+    for c in range(num_classes):
+        train_mask[perm[y[perm] == c][:20]] = True
+    rest = perm[~train_mask[perm]]
+    val_mask = np.zeros(n, bool)
+    val_mask[rest[:500]] = True
+    test_mask = np.zeros(n, bool)
+    test_mask[rest[500:1500]] = True
+    return x, y, train_mask, val_mask, test_mask
+
+
+def binary_auc(scores, labels):
+    """ROC-AUC via the rank statistic (no sklearn needed in the hot
+    path): P(score_pos > score_neg) with tie correction."""
+    scores = np.asarray(scores, np.float64).ravel()
+    labels = np.asarray(labels).ravel().astype(bool)
+    order = np.argsort(scores, kind="mergesort")
+    ranks = np.empty_like(order, np.float64)
+    ranks[order] = np.arange(1, len(scores) + 1)
+    # average ranks over ties
+    sorted_s = scores[order]
+    i = 0
+    while i < len(sorted_s):
+        j = i
+        while j + 1 < len(sorted_s) and sorted_s[j + 1] == sorted_s[i]:
+            j += 1
+        if j > i:
+            ranks[order[i:j + 1]] = (i + j + 2) / 2.0
+        i = j + 1
+    n_pos = labels.sum()
+    n_neg = len(labels) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return 0.5
+    return float((ranks[labels].sum() - n_pos * (n_pos + 1) / 2)
+                 / (n_pos * n_neg))
 
 
 def base_parser(**overrides):

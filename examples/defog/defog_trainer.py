@@ -81,7 +81,15 @@ def main(args):
         t += 0.1
     print("sampled graph: node classes",
           np.asarray(jnp.argmax(Xt, -1)))
-    return state
+
+    # generation validity: sampled edge matrix should be symmetric like
+    # every training graph (a structural-validity fraction standing in
+    # for the reference's molecular/spectre metrics, which need rdkit /
+    # graph-tool and reference checkpoints unavailable offline)
+    e_cls = np.asarray(jnp.argmax(Et, -1))
+    validity = float((e_cls == e_cls.T).mean())
+    print(f"sampled-graph symmetry validity {validity:.4f}")
+    return validity
 
 
 if __name__ == "__main__":

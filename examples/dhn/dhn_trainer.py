@@ -55,10 +55,20 @@ def main(args):
         n1, n2, y = batch()
         state, loss = step(state, n1, n2, y)
         if epoch % 5 == 0:
-            auc = float(((model.apply(state.params, n1, n2)[:, 0] > 0)
+            acc = float(((model.apply(state.params, n1, n2)[:, 0] > 0)
                          == (y > 0.5)).mean())
-            print(f"epoch {epoch:3d} loss {float(loss):.4f} acc {auc:.4f}")
-    return state
+            print(f"epoch {epoch:3d} loss {float(loss):.4f} acc {acc:.4f}")
+
+    # held-out AUC (reference readme metric: link AUC on acm)
+    from examples.common import binary_auc
+    scores, ys = [], []
+    for _ in range(8):
+        n1, n2, y = batch()
+        scores.append(np.asarray(model.apply(state.params, n1, n2))[:, 0])
+        ys.append(np.asarray(y))
+    auc = binary_auc(np.concatenate(scores), np.concatenate(ys))
+    print(f"held-out AUC {auc:.4f}")
+    return auc
 
 
 if __name__ == "__main__":

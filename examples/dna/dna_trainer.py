@@ -15,7 +15,7 @@ sys.path.insert(0, osp.join(osp.dirname(__file__), "..", ".."))
 import flax.linen as nn
 import jax.numpy as jnp
 from gammagl_tpu.layers.conv import DNAConv
-from examples.common import base_parser, run_simple_node_trainer
+from examples.common import base_parser, run_simple_node_trainer, probe_num_classes
 
 
 class Net(nn.Module):
@@ -35,7 +35,7 @@ class Net(nn.Module):
 
 
 def main(args):
-    model = Net(hidden_dim=args.hidden_dim, num_class=7,
+    model = Net(hidden_dim=args.hidden_dim, num_class=probe_num_classes(args),
                 drop_rate=args.drop_rate)
     return run_simple_node_trainer(model, args)
 

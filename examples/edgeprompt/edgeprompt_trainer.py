@@ -13,7 +13,7 @@ import sys
 
 sys.path.insert(0, osp.join(osp.dirname(__file__), "..", ".."))
 
-from examples.common import base_parser, run_simple_node_trainer
+from examples.common import base_parser, run_simple_node_trainer, probe_num_classes
 import flax.linen as nn
 
 from gammagl_tpu.models import EdgePromptModel
@@ -24,7 +24,7 @@ class Net(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_index, train=False):
-        return EdgePromptModel(num_class=7, hidden_dim=self.hidden_dim,
+        return EdgePromptModel(num_class=probe_num_classes(args), hidden_dim=self.hidden_dim,
                                num_prompts=4)(x, edge_index)
 
 

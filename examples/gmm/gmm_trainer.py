@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 from gammagl_tpu.utils import degree
 from gammagl_tpu.layers.conv import GMMConv
-from examples.common import base_parser, run_simple_node_trainer
+from examples.common import base_parser, run_simple_node_trainer, probe_num_classes
 
 
 class Net(nn.Module):
@@ -38,7 +38,7 @@ class Net(nn.Module):
 
 
 def main(args):
-    model = Net(hidden_dim=args.hidden_dim, num_class=7,
+    model = Net(hidden_dim=args.hidden_dim, num_class=probe_num_classes(args),
                 drop_rate=args.drop_rate)
     return run_simple_node_trainer(model, args)
 

@@ -58,7 +58,19 @@ def main(args):
                                            v[256:])
         print(f"epoch {epoch:3d} D {float(d_loss):.4f} "
               f"G {float(g_loss):.4f}")
-    return params
+
+    # link-prediction AUC of the discriminator embeddings on held-out
+    # pos/fake pairs (reference readme metric on arXiv-GrQc)
+    from examples.common import binary_auc
+    scores, ys = [], []
+    for _ in range(8):
+        u, v, lab = batch()
+        s = model.apply(params, u, v, method=GraphGAN.dis_score)
+        scores.append(np.asarray(s))
+        ys.append(np.asarray(lab))
+    auc = binary_auc(np.concatenate(scores), np.concatenate(ys))
+    print(f"link-pred AUC {auc:.4f}")
+    return auc
 
 
 if __name__ == "__main__":

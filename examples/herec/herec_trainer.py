@@ -43,6 +43,7 @@ def _metapath_embedding(ei, n, args):
 
 
 def main(args):
+    from examples.common import linear_probe
     hg, target = synthetic_hetero()
     n = hg["movie"].x.shape[0]
     # one embedding per metapath graph, fused HERec-style
@@ -50,7 +51,16 @@ def main(args):
         np.asarray(hg[("movie", "mdm", "movie")].edge_index), n, args)]
     fused = herec(embs)
     print("HERec fused embeddings:", fused.shape)
-    return fused
+
+    # node-classification probe on the fused embeddings (the reference's
+    # readme metric: micro-F1 on AMiner/IMDB/DBLP labels)
+    y = np.asarray(hg["movie"].y)
+    d = {"y": jnp.asarray(y),
+         "train_mask": jnp.asarray(np.asarray(hg["movie"].train_mask)),
+         "test_mask": jnp.asarray(np.asarray(hg["movie"].test_mask))}
+    acc = linear_probe(jnp.asarray(fused), d, int(y.max()) + 1)
+    print(f"probe test acc {acc:.4f}")
+    return acc
 
 
 if __name__ == "__main__":

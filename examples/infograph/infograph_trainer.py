@@ -66,7 +66,20 @@ def main(args):
     _, h_graph = jax.jit(model.apply, static_argnums=4)(
         state.params, x, ei, batch, num_graphs)
     print("graph embeddings:", np.asarray(h_graph).shape)
-    return h_graph
+
+    # graph-classification probe on the frozen embeddings (the
+    # reference readme's protocol: SVM on InfoGraph embeddings — here a
+    # logistic probe, same frozen-representation idea)
+    from examples.common import linear_probe
+    y = np.asarray(ys)
+    half = num_graphs // 2
+    train_mask = np.zeros(num_graphs, bool)
+    train_mask[:half] = True
+    d = {"y": jnp.asarray(y), "train_mask": jnp.asarray(train_mask),
+         "test_mask": jnp.asarray(~train_mask)}
+    acc = linear_probe(h_graph, d, int(y.max()) + 1)
+    print(f"probe test acc {acc:.4f}")
+    return acc
 
 
 if __name__ == "__main__":

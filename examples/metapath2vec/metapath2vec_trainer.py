@@ -56,7 +56,19 @@ def main(args):
         print(f"epoch {epoch:3d} loss {float(loss):.4f}")
     emb = model.apply(state.params)
     print("embeddings:", np.asarray(emb).shape)
-    return state
+
+    # node-classification probe on movie embeddings (reference readme
+    # metric: micro-F1 on AMiner/IMDB/DBLP)
+    from examples.common import linear_probe
+    y = np.asarray(hg["movie"].y)
+    d = {"y": jnp.asarray(y),
+         "train_mask": jnp.asarray(np.asarray(hg["movie"].train_mask)),
+         "test_mask": jnp.asarray(np.asarray(hg["movie"].test_mask))}
+    lo = model.offsets["movie"]
+    movie_emb = jnp.asarray(np.asarray(emb)[lo:lo + n_dict["movie"]])
+    acc = linear_probe(movie_emb, d, int(y.max()) + 1)
+    print(f"probe test acc {acc:.4f}")
+    return acc
 
 
 if __name__ == "__main__":

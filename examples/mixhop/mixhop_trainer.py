@@ -13,13 +13,12 @@ import sys
 
 sys.path.insert(0, osp.join(osp.dirname(__file__), "..", ".."))
 
-from examples.common import base_parser, run_simple_node_trainer
+from examples.common import base_parser, run_simple_node_trainer, probe_num_classes
 from gammagl_tpu.models import MixHopModel
 
 
 def main(args):
-    g_probe = None  # num_classes resolved inside the runner
-    model = MixHopModel(hidden_dim=args.hidden_dim, num_class=7, drop_rate=args.drop_rate)
+    model = MixHopModel(hidden_dim=args.hidden_dim, num_class=probe_num_classes(args), drop_rate=args.drop_rate)
     return run_simple_node_trainer(model, args)
 
 

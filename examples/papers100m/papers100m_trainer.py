@@ -67,6 +67,22 @@ def synthetic_papers(scale, seed=0, homophily=0.7):
     return ei, x, y, train, val, c
 
 
+def load_ogb_root(root, name="ogbn-papers100M"):
+    """Standard staged OGB directory (gammagl_tpu.datasets.OgbNodeDataset:
+    raw/{node_feat,edge_index,node_label}.npy or data.npz + split/time/).
+    Features stay memory-mapped until sharded to devices."""
+    from gammagl_tpu.datasets import OgbNodeDataset
+    g = OgbNodeDataset(root, name)[0]
+    y = np.asarray(g.y).astype(np.int32) if "y" in g else np.zeros(
+        g.num_nodes, np.int32)
+    train = (np.asarray(g.train_mask) if "train_mask" in g
+             else np.zeros(g.num_nodes, bool))
+    val = (np.asarray(g.val_mask) if "val_mask" in g
+           else np.zeros(g.num_nodes, bool))
+    return (g.edge_index, g.x, y, train, val,
+            max(int(y.max()) + 1, 2))
+
+
 def load_real(args):
     x = np.load(args.features, mmap_mode="r")
     ei = np.load(args.edges_file, mmap_mode="r")
@@ -87,6 +103,12 @@ def main():
     ap.add_argument("--recipe", choices=["gcn", "sign"], default="gcn")
     ap.add_argument("--scale", type=float, default=0.0005,
                     help="synthetic fraction of papers100M")
+    ap.add_argument("--data-root", default=None,
+                    help="staged OGB directory root (contains "
+                         "ogbn_papers100M/raw + split; see "
+                         "gammagl_tpu/datasets/ogb.py). Takes "
+                         "precedence over --features/--edges-file")
+    ap.add_argument("--ogb-name", default="ogbn-papers100M")
     ap.add_argument("--features", default=None)
     ap.add_argument("--edges-file", default=None)
     ap.add_argument("--labels", default=None)
@@ -141,7 +163,10 @@ def main():
                                       estimate_hbm_gb, reorder_bandwidth)
     from gammagl_tpu.utils import calc_gcn_norm_np
 
-    if args.features:
+    if args.data_root:
+        ei, x, y, train, val, c = load_ogb_root(args.data_root,
+                                                args.ogb_name)
+    elif args.features:
         ei, x, y, train, val, c = load_real(args)
     else:
         ei, x, y, train, val, c = synthetic_papers(args.scale)

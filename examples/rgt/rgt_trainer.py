@@ -60,7 +60,35 @@ def main(args):
                                jnp.asarray(b.seq_edge_index))
             total += float(loss); nb += 1
         print(f"epoch {epoch:3d} loss {total / nb:.4f}")
-    return state
+
+    # node-classification probe on the fused multi-manifold embeddings
+    # of the seed nodes (reference readme metric: accuracy on
+    # cora/citeseer)
+    from examples.common import linear_probe
+    import itertools
+    embs, ids = [], []
+    # cap the embedding pass: enough seed coverage for the probe without
+    # paying a full-epoch recompile sweep on CPU smoke runs
+    for b in itertools.islice(iter(loader), 40):
+        _, fused = model.apply(state.params, jnp.asarray(b.x),
+                               jnp.asarray(b.edge_index),
+                               jnp.asarray(b.tree_edge_index),
+                               jnp.asarray(b.cycle_edge_index),
+                               jnp.asarray(b.seq_edge_index),
+                               b.num_seeds,
+                               method=RGTModel.train_loss)
+        embs.append(np.asarray(fused)[:b.num_seeds])
+        ids.append(np.asarray(b.n_id)[:b.num_seeds])
+    emb = np.zeros((g.num_nodes, embs[0].shape[1]), np.float32)
+    emb[np.concatenate(ids)] = np.concatenate(embs)
+    y = np.asarray(g.y)
+    d = {"y": jnp.asarray(y),
+         "train_mask": jnp.asarray(np.asarray(g.train_mask).reshape(
+             g.num_nodes, -1)[:, 0]),
+         "test_mask": jnp.asarray(np.asarray(g.test_mask))}
+    acc = linear_probe(jnp.asarray(emb), d, int(y.max()) + 1)
+    print(f"probe test acc {acc:.4f}")
+    return acc
 
 
 if __name__ == "__main__":

@@ -56,9 +56,26 @@ def main(args):
             batch.extend([i] * len(nodes))
             ys.append(1 - i % 2)
             off += len(nodes)
-        return (jnp.asarray(np.concatenate(xs)),
-                jnp.asarray(np.concatenate(eis, axis=1)),
-                jnp.asarray(np.asarray(batch)),
+        # pad to STATIC shapes so every batch reuses one jit compile
+        # (variable subgraph sizes would otherwise recompile per batch):
+        # padded nodes are isolated self-loops assigned to segment id
+        # `batch_size`, which jax segment ops drop as out-of-range
+        node_cap, edge_cap = batch_size * 24, batch_size * 160
+        labels_cat = np.concatenate(xs)[:node_cap]
+        ei_cat = np.concatenate(eis, axis=1)
+        ei_cat = ei_cat[:, (ei_cat < node_cap).all(0)][:, :edge_cap]
+        batch_cat = np.asarray(batch)[:node_cap]
+        pad_n = node_cap - len(labels_cat)
+        pad_e = edge_cap - ei_cat.shape[1]
+        labels_cat = np.concatenate(
+            [labels_cat, np.zeros(pad_n, labels_cat.dtype)])
+        batch_cat = np.concatenate(
+            [batch_cat, np.full(pad_n, batch_size, batch_cat.dtype)])
+        ei_cat = np.concatenate(
+            [ei_cat, np.full((2, pad_e), node_cap - 1, ei_cat.dtype)],
+            axis=1)
+        return (jnp.asarray(labels_cat), jnp.asarray(ei_cat),
+                jnp.asarray(batch_cat),
                 jnp.asarray(np.asarray(ys)), batch_size)
 
     labels, sei, batch, y, ng = subgraph_batch(args.batch_size)
@@ -79,7 +96,19 @@ def main(args):
         labels, sei, batch, y, ng = subgraph_batch(args.batch_size)
         state, loss = step(state, labels, sei, batch, y, ng)
         print(f"epoch {epoch:3d} loss {float(loss):.4f}")
-    return state
+
+    # link-prediction AUC on held-out batches (the reference's readme
+    # metric, examples/seal/readme.md)
+    from examples.common import binary_auc
+    scores, ys = [], []
+    for _ in range(8):
+        labels, sei, batch, y, ng = subgraph_batch(args.batch_size)
+        logits = model.apply(state.params, labels, sei, None, batch, ng)
+        scores.append(np.asarray(logits)[:, 0])
+        ys.append(np.asarray(y))
+    auc = binary_auc(np.concatenate(scores), np.concatenate(ys))
+    print(f"link-pred AUC {auc:.4f}")
+    return auc
 
 
 if __name__ == "__main__":

@@ -13,13 +13,12 @@ import sys
 
 sys.path.insert(0, osp.join(osp.dirname(__file__), "..", ".."))
 
-from examples.common import base_parser, run_simple_node_trainer
+from examples.common import base_parser, run_simple_node_trainer, probe_num_classes
 from gammagl_tpu.models import SGCModel
 
 
 def main(args):
-    g_probe = None  # num_classes resolved inside the runner
-    model = SGCModel(num_class=7, itera_k=2)
+    model = SGCModel(num_class=probe_num_classes(args), itera_k=2)
     return run_simple_node_trainer(model, args)
 
 

@@ -22,6 +22,7 @@ from gammagl_tpu.datasets.wave3_datasets import (ACM4HeCo, Bail, Credit,
                                                  AMiner, MoleculeNet,
                                                  MovieLens, CustomDataset)
 
+from gammagl_tpu.datasets.ogb import OgbNodeDataset
 from gammagl_tpu.datasets.wave4_datasets import (ModelNet40, ShapeNet, NGSIM_US_101, ACM4DHN, ACM4Rohe, ADDataset, AliRCD)
 
 __all__ = [
@@ -68,6 +69,7 @@ __all__ = [
     "ACM4Rohe",
     "ADDataset",
     "AliRCD",
+    "OgbNodeDataset",
 ]
 
 # reference spelling (gammagl/datasets/__init__.py exports CA_GrQc)

@@ -115,6 +115,105 @@ TARGETS = {
                           "th"),
     ("heco", "acm"): (88.64, "examples/heco/README.md (40 labels)",
                       "torch"),
+    # wave 5 (round 4): every remaining table-bearing example
+    # (ACCEPTANCE.md "harness-pending" set). Torch column as printed.
+    ("adagad", "cora"): (85.67, "examples/adagad/README.md:48 "
+                                "(inj_cora, AUC)", "th"),
+    ("amgcn", "cora"): (79.5, "examples/amgcn/readme.md:29", "th"),
+    ("amgcn", "citeseer"): (71.7, "examples/amgcn/readme.md:30", "th"),
+    ("amgcn", "pubmed"): (64.4, "examples/amgcn/readme.md:31", "th"),
+    ("cagcn", "cora"): (83.23, "examples/cagcn/readme.md:58 (L/C=20)",
+                        "torch"),
+    ("cagcn", "citeseer"): (72.03, "examples/cagcn/readme.md:61", "torch"),
+    ("cagcn", "pubmed"): (78.13, "examples/cagcn/readme.md:64", "torch"),
+    ("citgnn", "cora"): (77.52, "examples/citgnn/readme.md:50 (CIT-GCN "
+                                "acc; our offline run uses real shipped "
+                                "adjacencies w/ structure-derived "
+                                "labels)", "our"),
+    ("citgnn", "citeseer"): (65.78, "examples/citgnn/readme.md:50", "our"),
+    ("citgnn", "pubmed"): (72.42, "examples/citgnn/readme.md:50", "our"),
+    ("cogsl", "polblogs"): (95.2, "examples/cogsl/readme.md:35 "
+                                  "(F1-micro)", "th"),
+    ("cogsl", "citeseer"): (67.3, "examples/cogsl/readme.md:36 "
+                                  "(F1-micro)", "th"),
+    ("deepwalk", "cora"): (70.84, "examples/deepwalk/readme.md:41",
+                           "torch"),
+    ("deepwalk", "citeseer"): (47.13, "examples/deepwalk/readme.md:42",
+                               "torch"),
+    ("deepwalk", "pubmed"): (61.74, "examples/deepwalk/readme.md:43",
+                             "torch"),
+    ("dhn", "acm"): (95.54, "examples/dhn/README.md:17 (AUC)", "th"),
+    ("fatragnn", "credit"): (77.08, "examples/fatragnn/readme.md:41 "
+                                    "(Credit_C1)", "torch"),
+    ("fatragnn", "bail"): (72.13, "examples/fatragnn/readme.md:45 "
+                                  "(Bail_B1)", "torch"),
+    ("film", "ppi"): (94.0, "examples/film/readme.md:25", "torch"),
+    ("gcil", "cora"): (45.19, "examples/gcil/README.md:28 (reference's "
+                              "own th run; paper 83.8)", "th"),
+    ("gcil", "pubmed"): (46.30, "examples/gcil/README.md:29", "th"),
+    ("gin", "MUTAG"): (89.4, "examples/gin/readme.md:36 (graph "
+                             "classification)", "th"),
+    ("glnn", "cora"): (80.84, "examples/glnn/readme.md:35", "th"),
+    ("glnn", "citeseer"): (71.34, "examples/glnn/readme.md:36", "th"),
+    ("glnn", "pubmed"): (77.88, "examples/glnn/readme.md:37", "th"),
+    ("gnrf", "pubmed"): (88.85, "examples/gnrf/readme.md:15 (Ours row)",
+                         "th"),
+    ("gnrf", "cornell"): (79.46, "examples/gnrf/readme.md:15", "th"),
+    ("graphgan", "grqc"): (88.19, "examples/graphgan/README.md:46 "
+                                  "(link AUC x100)", "th"),
+    ("hcha", "cora"): (77.14, "examples/hcha/readme.md:35", "th"),
+    ("hcha", "citeseer"): (63.48, "examples/hcha/readme.md:36", "th"),
+    ("hcha", "pubmed"): (76.44, "examples/hcha/readme.md:37", "th"),
+    ("herec", "imdb"): (51.92, "examples/herec/readme.md:37 (micro-F1)",
+                        "th"),
+    ("hetero_rgcn", "alircd"): (92.50, "examples/hetero_rgcn/readme.md:25",
+                                "th"),
+    ("hid_net", "cora"): (81.38, "examples/hid_net/readme.md:35 "
+                                 "(0.8138 x100)", "th"),
+    ("hid_net", "citeseer"): (71.34, "examples/hid_net/readme.md:36",
+                              "th"),
+    ("hid_net", "pubmed"): (79.20, "examples/hid_net/readme.md:37", "th"),
+    ("infograph", "MUTAG"): (90.65, "examples/infograph/README.md:42",
+                             "th"),
+    ("ltd", "cora"): (84.71, "examples/ltd/readme.md:40 (GCN student)",
+                      "th"),
+    ("ltd", "citeseer"): (74.69, "examples/ltd/readme.md:42", "th"),
+    ("ltd", "pubmed"): (79.54, "examples/ltd/readme.md:44", "th"),
+    ("metapath2vec", "imdb"): (51.80, "examples/metapath2vec/readme.md:37 "
+                                      "(micro-F1)", "th"),
+    ("mgnni", "cornell"): (78.38, "examples/mgnni/readme.md:34", "th"),
+    ("mgnni", "texas"): (84.86, "examples/mgnni/readme.md:35", "th"),
+    ("mvgrl", "MUTAG"): (89.30, "examples/mvgrl/README.md:122 (graph "
+                                "classification)", "th"),
+    ("node2vec", "cora"): (71.91, "examples/node2vec/readme.md:39",
+                           "torch"),
+    ("node2vec", "citeseer"): (48.76, "examples/node2vec/readme.md:40",
+                               "torch"),
+    ("node2vec", "pubmed"): (61.82, "examples/node2vec/readme.md:41",
+                             "torch"),
+    ("nodeid", "cora"): (88.13, "examples/nodeid/readme.md:51 (GCN, "
+                                "transductive)", "th"),
+    ("nodeid", "citeseer"): (75.31, "examples/nodeid/readme.md:52", "th"),
+    ("pna", "zinc"): (0.195, "examples/pna/readme.md:36 (MAE, graph "
+                             "regression; offline harness entry is the "
+                             "node-classification smoke — no comparable "
+                             "metric)", "th"),
+    ("rgt", "cora"): (75.72, "examples/rgt/readme.md:27", "th"),
+    ("rgt", "citeseer"): (60.96, "examples/rgt/readme.md:29", "th"),
+    ("seal", "cora"): (93.28, "examples/seal/readme.md:27 (AUC, tf "
+                              "column; th printed 83.52)", "tf"),
+    ("sp2gcl", "pubmed"): (78.66, "examples/sp2gcl/readme.md:30", "th"),
+    ("sp2gcl", "wikics"): (78.64, "examples/sp2gcl/readme.md:31", "th"),
+    ("specformer", "cora"): (87.26, "examples/specformer/readme.md:33",
+                             "th"),
+    ("specformer", "chameleon"): (76.29, "examples/specformer/readme.md:31",
+                                  "th"),
+    ("tadw", "cora"): (84.42, "examples/tadw/readme.md:21", "th"),
+    ("tadw", "citeseer"): (74.41, "examples/tadw/readme.md:22", "th"),
+    ("vgae", "cora"): (92.02, "examples/vgae/readme.md:41 (GAE AUC)",
+                       "th"),
+    ("vgae", "citeseer"): (89.62, "examples/vgae/readme.md:42", "th"),
+    ("vgae", "pubmed"): (97.11, "examples/vgae/readme.md:43", "th"),
 }
 
 # per-model trainer + reference hyperparameters (namespace overrides on
@@ -199,6 +298,110 @@ CONFIGS = {
                     ns=dict(hidden_dim=64, variant="lf")),
     "heco": dict(trainer="heco/heco_trainer.py", datasets=["acm"],
                  ns=dict(hidden_dim=64, n_epoch=30, lr=0.005)),
+    # wave 5 (round 4)
+    "adagad": dict(trainer="adagad/adagad_trainer.py", datasets=["cora"],
+                   ns=dict(hidden_dim=32, n_epoch=30, lr=0.005)),
+    "amgcn": dict(trainer="amgcn/amgcn_trainer.py",
+                  datasets=["cora", "citeseer", "pubmed"],
+                  ns=dict(hidden_dim=16, n_epoch=40, lr=0.005)),
+    "amp": dict(trainer="amp/amp_trainer.py", datasets=["cora"],
+                ns=dict(hidden_dim=16, n_epoch=40, lr=0.005)),
+    "cagcn": dict(trainer="cagcn/cagcn_trainer.py",
+                  datasets=["cora", "citeseer", "pubmed"],
+                  ns=dict(hidden_dim=64, n_epoch=200, lr=0.005,
+                          drop_rate=0.8)),
+    "citgnn": dict(trainer="citgnn/citgnn_trainer.py",
+                   datasets=["cora", "citeseer", "pubmed"],
+                   ns=dict(hidden_dim=16, n_epoch=200, lr=0.005,
+                           clusters=100, ss="0.5", real_structure=1)),
+    "cogsl": dict(trainer="cogsl/cogsl_trainer.py",
+                  datasets=["polblogs", "citeseer"],
+                  ns=dict(hidden_dim=16, n_epoch=40, lr=0.005)),
+    "deepwalk": dict(trainer="deepwalk/deepwalk_trainer.py",
+                     datasets=["cora", "citeseer", "pubmed"],
+                     ns=dict(hidden_dim=128, n_epoch=5, lr=0.05,
+                             batch_size=256)),
+    "defog": dict(trainer="defog/defog_trainer.py",
+                  datasets=["synthetic"],
+                  ns=dict(n_epoch=20, lr=0.001)),
+    "dhn": dict(trainer="dhn/dhn_trainer.py", datasets=["acm"],
+                ns=dict(hidden_dim=32, n_epoch=30, lr=0.005)),
+    "fatragnn": dict(trainer="fatragnn/fatragnn_trainer.py",
+                     datasets=["credit", "bail"],
+                     ns=dict(hidden_dim=16, n_epoch=40, lr=0.005)),
+    "film": dict(trainer="film/film_trainer.py", datasets=["ppi"],
+                 ns=dict(hidden_dim=160, n_epoch=40, lr=0.001,
+                         drop_rate=0.1)),
+    "gcil": dict(trainer="gcil/gcil_trainer.py",
+                 datasets=["cora", "pubmed"],
+                 ns=dict(hidden_dim=128, n_epoch=100, lr=0.0005,
+                         real_structure=1)),
+    "gin": dict(trainer="gin/gin_trainer.py", datasets=["MUTAG"],
+                ns=dict(hidden_dim=32, n_epoch=40, lr=0.01)),
+    "glnn": dict(trainer="glnn/glnn_trainer.py",
+                 datasets=["cora", "citeseer", "pubmed"],
+                 ns=dict(hidden_dim=16, n_epoch=40, lr=0.005)),
+    "gnrf": dict(trainer="gnrf/gnrf_trainer.py",
+                 datasets=["pubmed", "cornell"],
+                 ns=dict(hidden_dim=64, n_epoch=40, lr=0.005)),
+    "graphgan": dict(trainer="graphgan/graphgan_trainer.py",
+                     datasets=["grqc"],
+                     ns=dict(hidden_dim=64, n_epoch=5, lr=0.001)),
+    "hcha": dict(trainer="hcha/hcha_trainer.py",
+                 datasets=["cora", "citeseer", "pubmed"],
+                 ns=dict(hidden_dim=16, n_epoch=200, lr=0.01)),
+    "herec": dict(trainer="herec/herec_trainer.py", datasets=["imdb"],
+                  ns=dict(hidden_dim=64, n_epoch=3, lr=0.01)),
+    "hetero_rgcn": dict(trainer="hetero_rgcn/hetero_rgcn_trainer.py",
+                        datasets=["alircd"],
+                        ns=dict(hidden_dim=16, n_epoch=50, lr=0.005)),
+    "hid_net": dict(trainer="hid_net/hid_net_trainer.py",
+                    datasets=["cora", "citeseer", "pubmed"],
+                    ns=dict(hidden_dim=32, n_epoch=200, lr=0.02)),
+    "infograph": dict(trainer="infograph/infograph_trainer.py",
+                      datasets=["MUTAG"],
+                      ns=dict(hidden_dim=32, n_epoch=40, lr=0.01)),
+    "ltd": dict(trainer="ltd/ltd_trainer.py",
+                datasets=["cora", "citeseer", "pubmed"],
+                ns=dict(hidden_dim=16, n_epoch=40, lr=0.005)),
+    "metapath2vec": dict(trainer="metapath2vec/metapath2vec_trainer.py",
+                         datasets=["imdb"],
+                         ns=dict(hidden_dim=64, n_epoch=5, lr=0.01)),
+    "mgnni": dict(trainer="mgnni/mgnni_trainer.py",
+                  datasets=["cornell", "texas"],
+                  ns=dict(hidden_dim=16, n_epoch=40, lr=0.005)),
+    "mvgrl": dict(trainer="mvgrl/mvgrl_trainer.py", datasets=["MUTAG"],
+                  ns=dict(hidden_dim=128, n_epoch=50, lr=0.001)),
+    "node2vec": dict(trainer="node2vec/node2vec_trainer.py",
+                     datasets=["cora", "citeseer", "pubmed"],
+                     ns=dict(hidden_dim=128, n_epoch=5, lr=0.01,
+                             batch_size=256, p=4.0, q=1.0)),
+    "nodeid": dict(trainer="nodeid/nodeid_trainer.py",
+                   datasets=["cora", "citeseer"],
+                   ns=dict(hidden_dim=16, n_epoch=40, lr=0.005)),
+    "pna": dict(trainer="pna/pna_trainer.py", datasets=["zinc"],
+                ns=dict(hidden_dim=16, n_epoch=40, lr=0.005)),
+    "rgt": dict(trainer="rgt/rgt_trainer.py",
+                datasets=["cora", "citeseer"],
+                ns=dict(hidden_dim=64, n_epoch=2, lr=0.001,
+                        batch_size=64)),
+    "seal": dict(trainer="seal/seal_trainer.py", datasets=["cora"],
+                 ns=dict(hidden_dim=16, n_epoch=5, lr=0.005,
+                         batch_size=16)),
+    "sp2gcl": dict(trainer="sp2gcl/sp2gcl_trainer.py",
+                   datasets=["pubmed", "wikics"],
+                   ns=dict(hidden_dim=64, n_epoch=30, lr=0.001,
+                           spe_dim=16)),
+    "specformer": dict(trainer="specformer/specformer_trainer.py",
+                       datasets=["cora", "chameleon"],
+                       ns=dict(hidden_dim=32, n_epoch=100, lr=0.01,
+                               drop_rate=0.2)),
+    "tadw": dict(trainer="tadw/tadw_trainer.py",
+                 datasets=["cora", "citeseer"],
+                 ns=dict(hidden_dim=80, n_epoch=20)),
+    "vgae": dict(trainer="vgae/vgae_trainer.py",
+                 datasets=["cora", "citeseer", "pubmed"],
+                 ns=dict(hidden_dim=32, n_epoch=200, lr=0.01)),
 }
 
 
@@ -211,8 +414,85 @@ def _load_main(trainer_rel):
     return mod
 
 
+# dataset name (harness key) -> required raw files under data/<dir>/raw/.
+# Mirrors each dataset class's raw_file_names (gammagl_tpu/datasets/*);
+# kept as an explicit table so "data": "real" in the artifact is auditable
+# against files on disk, not directory existence (the round-3 bug: empty
+# download-residue raw/ dirs counted as real — VERDICT.md Weak #1).
+_PLANETOID = ["ind.{0}.x", "ind.{0}.tx", "ind.{0}.allx", "ind.{0}.y",
+              "ind.{0}.ty", "ind.{0}.ally", "ind.{0}.graph",
+              "ind.{0}.test.index"]
+_ENTITIES = ["{0}_stripped.nt.gz", "completeDataset.tsv",
+             "trainingSet.tsv", "testSet.tsv"]
+_HGB = ["adjM.npz", "features_0.npz", "features_1.npz", "features_2.npz",
+        "labels.npy", "train_val_test_idx.npz"]
+_RAW_FILES = {
+    "cora": [f.format("cora") for f in _PLANETOID],
+    "citeseer": [f.format("citeseer") for f in _PLANETOID],
+    "pubmed": [f.format("pubmed") for f in _PLANETOID],
+    "aifb": [f.format("aifb") for f in _ENTITIES],
+    "mutag": [f.format("mutag") for f in _ENTITIES],
+    "bgs": [f.format("bgs") for f in _ENTITIES],
+    "imdb": _HGB,
+    "reddit": ["reddit_data.npz", "reddit_graph.npz"],
+    "acm": ["ACM.mat"],
+    "ppi": [f"{s}_{k}.json" for s in ("train", "valid", "test")
+            for k in ("graph", "feats", "labels", "graph_id")],
+    "MUTAG": ["MUTAG_A.txt", "MUTAG_graph_indicator.txt",
+              "MUTAG_graph_labels.txt", "MUTAG_node_labels.txt"],
+    "zinc": ["train.pickle", "val.pickle", "test.pickle"],
+    "grqc": ["ca-GrQc.txt"],
+    "polblogs": ["adjacency.tsv", "labels.tsv"],
+    "wikics": ["data.json"],
+    "credit": ["credit.csv", "credit_edges.txt"],
+    "bail": ["bail.csv", "bail_edges.txt"],
+    "aminer": ["id_author.txt", "id_conf.txt", "paper.txt",
+               "paper_author.txt", "paper_conf.txt", "label"],
+    "dblp": _HGB[:1] + ["features_0.npz", "features_1.npz",
+                        "labels.npy", "train_val_test_idx.npz"],
+    "cornell": ["out1_graph_edges.txt", "out1_node_feature_label.txt"],
+    "texas": ["out1_graph_edges.txt", "out1_node_feature_label.txt"],
+    "wisconsin": ["out1_graph_edges.txt", "out1_node_feature_label.txt"],
+    "chameleon": ["out1_graph_edges.txt", "out1_node_feature_label.txt"],
+    "squirrel": ["out1_graph_edges.txt", "out1_node_feature_label.txt"],
+    "computers": ["amazon_electronics_computers.npz"],
+    "photo": ["amazon_electronics_photo.npz"],
+    "facebook": ["facebook.npz"],
+}
+# harness dataset name -> on-disk directory when they differ
+_DATA_DIR = {"MUTAG": osp.join("tu", "MUTAG"), "acm": "acm4heco"}
+
+
 def _have_real(name):
-    return osp.exists(osp.join(ROOT, "data", name, "raw"))
+    """True only when every raw file the dataset class needs is staged
+    and non-empty (scripts/stage_data.py layout)."""
+    files = _RAW_FILES.get(name)
+    if files is None:
+        return False
+    raw = osp.join(ROOT, "data", _DATA_DIR.get(name, name), "raw")
+    try:
+        return all(osp.getsize(osp.join(raw, f)) > 0 for f in files)
+    except OSError:
+        return False
+
+
+# (model, dataset) pairs whose trainers consume the REAL adjacency
+# structure the reference ships in-tree (examples/gcil/dataset/,
+# examples/citgnn/datasets/) — features/labels are structure-derived
+# because no Planetoid feature files exist offline, so these are
+# recorded as "real-structure" WITHOUT a within-0.3 verdict.
+_REAL_STRUCTURE_FILES = {
+    ("gcil", "cora"): "/root/reference/examples/gcil/dataset/cora/0.01_1_1.npz",
+    ("gcil", "pubmed"): "/root/reference/examples/gcil/dataset/pubmed/0.01_1_1.npz",
+    ("citgnn", "cora"): "/root/reference/examples/citgnn/datasets/cora_add_0.5.npz",
+    ("citgnn", "citeseer"): "/root/reference/examples/citgnn/datasets/citeseer_add_0.5.npz",
+    ("citgnn", "pubmed"): "/root/reference/examples/citgnn/datasets/pubmed_add_0.5.npz",
+}
+
+
+def _real_structure(model, ds):
+    f = _REAL_STRUCTURE_FILES.get((model, ds))
+    return f is not None and osp.exists(f)
 
 
 def main():
@@ -222,8 +502,16 @@ def main():
     ap.add_argument("--datasets", nargs="*", default=None,
                     help="restrict to these datasets (default: each "
                          "model's configured list)")
-    ap.add_argument("--out", default="ACCURACY_r03.json")
+    ap.add_argument("--out", default="ACCURACY_r04.json")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (keeps the TPU free; "
+                         "JAX_PLATFORMS env alone is ignored because "
+                         "the axon plugin registers itself first)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from gammagl_tpu.data.download import network_available
     net = network_available()
@@ -255,10 +543,13 @@ def main():
                 continue
             mean = statistics.mean(accs)
             std = statistics.pstdev(accs) if len(accs) > 1 else 0.0
+            real_struct = not real and _real_structure(model, ds)
+            kind = ("real" if real else
+                    "real-structure" if real_struct else "synthetic")
             entry = {
                 "acc_mean": round(mean, 2), "acc_std": round(std, 2),
                 "seeds": len(accs),
-                "data": "real" if real else "synthetic",
+                "data": kind,
             }
             if tgt is not None:
                 entry["reference_acc"] = tgt[0]
@@ -267,14 +558,21 @@ def main():
             if real and tgt is not None:
                 entry["delta"] = round(mean - tgt[0], 2)
                 entry["within_0.3"] = abs(mean - tgt[0]) <= 0.3
+            elif real_struct:
+                entry["note"] = ("REAL adjacency structure (reference "
+                                 "in-tree npz: "
+                                 f"{_REAL_STRUCTURE_FILES[(model, ds)]}) "
+                                 "with structure-derived features/labels "
+                                 "— no accuracy verdict vs the readme "
+                                 "table, which needs Planetoid "
+                                 "feature/label files")
             else:
                 entry["note"] = ("synthetic fallback (no network "
                                  "egress); stage data/<name>/raw via "
                                  "scripts/stage_data.py for the real "
                                  "comparison")
             results[key] = entry
-            print(f"{key}: {mean:.2f}±{std:.2f} "
-                  f"({'real' if real else 'synthetic'})", flush=True)
+            print(f"{key}: {mean:.2f}±{std:.2f} ({kind})", flush=True)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {args.out}")

@@ -50,6 +50,12 @@ REGISTRY = {
     "am": (_ENTITIES, "datasets/misc_datasets.py:Entities"),
     "reddit": (["reddit_data.npz", "reddit_graph.npz"],
                "datasets/reddit.py:Reddit"),
+    # OGB node datasets: either the npy fast path (preferred: mmap-able)
+    # or OGB's own raw layout (data.npz / csv.gz) — see datasets/ogb.py
+    "ogbn_arxiv": (["node_feat.npy", "edge_index.npy"],
+                   "datasets/ogb.py:OgbNodeDataset"),
+    "ogbn_papers100M": (["node_feat.npy", "edge_index.npy"],
+                        "datasets/ogb.py:OgbNodeDataset"),
 }
 
 
