@@ -26,7 +26,10 @@ from gammagl_tpu.parallel.halo_attention import (
     AttnHaloPartition, build_halo_partition_attn,
     make_partitioned_gat_layer)
 
-from gammagl_tpu.parallel.strategies import (pipeline_apply, make_feature_sharded_spmm, relation_expert_spmm)
+from gammagl_tpu.parallel.strategies import (
+    pipeline_apply, make_pipeline_apply, shard_pipeline_params,
+    make_feature_sharded_spmm, relation_expert_spmm,
+    make_relation_expert_spmm, shard_expert_weights)
 from gammagl_tpu.parallel.scaling import (HwModel, V5E,
                                           halo_scaling_estimate)
 from gammagl_tpu.parallel.full_graph import (pad_nodes, unpad_nodes,
@@ -68,6 +71,10 @@ __all__ = [
     "pipeline_apply",
     "make_feature_sharded_spmm",
     "relation_expert_spmm",
+    "make_relation_expert_spmm",
+    "shard_expert_weights",
+    "make_pipeline_apply",
+    "shard_pipeline_params",
     "pad_nodes",
     "unpad_nodes",
     "shard_nodes",

@@ -29,30 +29,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gammagl_tpu.ops.segment import segment_sum
 
-__all__ = ["pipeline_apply", "make_feature_sharded_spmm",
-           "relation_expert_spmm"]
+__all__ = ["pipeline_apply", "make_pipeline_apply",
+           "make_feature_sharded_spmm",
+           "relation_expert_spmm", "make_relation_expert_spmm",
+           "shard_pipeline_params", "shard_expert_weights"]
 
 
-def pipeline_apply(mesh, stage_fn, stage_params, x_micro, axis="pp"):
-    """GPipe-style pipelined forward.
-
-    Parameters
-    ----------
-    stage_fn : (params_s, h) -> h, the per-stage computation (same shape
-        in/out so activations stream stage-to-stage)
-    stage_params : pytree whose leaves have leading dim = num_stages
-        (stage s's slice lives on mesh slot s along `axis`)
-    x_micro : (num_micro, B, F) microbatches
-    Returns (num_micro, B, F) outputs from the last stage.
-    """
-    num_stages = mesh.shape[axis]
-    num_micro = x_micro.shape[0]
-    steps = num_micro + num_stages - 1
-
-    params_sharded = jax.tree_util.tree_map(
+def shard_pipeline_params(mesh, stage_params, axis="pp"):
+    """Place per-stage parameter slices on their pipeline stages (leaves
+    have leading dim = num_stages)."""
+    return jax.tree_util.tree_map(
         lambda a: jax.device_put(a, NamedSharding(mesh, P(axis))),
         stage_params)
-    x_sharded = jax.device_put(x_micro, NamedSharding(mesh, P()))
+
+
+def make_pipeline_apply(mesh, stage_fn, num_micro, axis="pp"):
+    """Build the differentiable GPipe forward: returns
+    ``run(params_sharded, x_micro) -> (num_micro, B, F)``.
+
+    The returned function is pure (no device placement inside), so it
+    composes with `jax.jit` / `jax.value_and_grad` — backward streams
+    activation cotangents stage-to-stage through the transposed
+    `ppermute`s, the standard GPipe backward schedule."""
+    num_stages = mesh.shape[axis]
+    steps = num_micro + num_stages - 1
 
     @partial(shard_map, mesh=mesh, in_specs=(P(axis), P()),
              out_specs=P(), check_vma=False)
@@ -87,6 +87,25 @@ def pipeline_apply(mesh, stage_fn, stage_params, x_micro, axis="pp"):
         mine = jnp.where(stage == num_stages - 1, 1.0, 0.0)
         return jax.lax.psum(outs * mine, axis)
 
+    return run
+
+
+def pipeline_apply(mesh, stage_fn, stage_params, x_micro, axis="pp"):
+    """GPipe-style pipelined forward (one-shot convenience wrapper over
+    `make_pipeline_apply`; for training, build once and differentiate).
+
+    Parameters
+    ----------
+    stage_fn : (params_s, h) -> h, the per-stage computation (same shape
+        in/out so activations stream stage-to-stage)
+    stage_params : pytree whose leaves have leading dim = num_stages
+        (stage s's slice lives on mesh slot s along `axis`)
+    x_micro : (num_micro, B, F) microbatches
+    Returns (num_micro, B, F) outputs from the last stage.
+    """
+    params_sharded = shard_pipeline_params(mesh, stage_params, axis)
+    x_sharded = jax.device_put(x_micro, NamedSharding(mesh, P()))
+    run = make_pipeline_apply(mesh, stage_fn, x_micro.shape[0], axis)
     return run(params_sharded, x_sharded)
 
 
@@ -107,30 +126,36 @@ def make_feature_sharded_spmm(mesh, num_nodes, axis="sp"):
     return run
 
 
-def relation_expert_spmm(mesh, edge_index, edge_type, x, weights,
-                         num_nodes, axis="ep"):
-    """Relation-typed transform + aggregate with relation weights sharded
-    over `axis` (expert parallelism for RGCN-style models).
-
-    weights: (num_relations, F_in, F_out) — relation r lives on device
-    r % ndev. Each device transforms + aggregates only its local
-    relations' edges (others masked to zero), then one psum combines.
-    """
+def shard_expert_weights(mesh, weights, axis="ep"):
+    """Pad relation weights (num_rel, F_in, F_out) to a multiple of the
+    expert-axis size and place expert blocks on their owners. Returns the
+    sharded (ndev, per, F_in, F_out) array."""
     ndev = mesh.shape[axis]
     num_rel = weights.shape[0]
     per = -(-num_rel // ndev)
     pad = per * ndev - num_rel
     if pad:
         weights = jnp.pad(weights, ((0, pad), (0, 0), (0, 0)))
-    w_sharded = jax.device_put(
+    return jax.device_put(
         weights.reshape(ndev, per, *weights.shape[1:]),
         NamedSharding(mesh, P(axis)))
+
+
+def make_relation_expert_spmm(mesh, num_nodes, axis="ep"):
+    """Build the differentiable expert-parallel relational SpMM:
+    ``run(ei, et, x, w_sharded) -> (num_nodes, F_out)`` with
+    ``w_sharded`` from `shard_expert_weights`. Pure — composes with
+    `jax.value_and_grad` wrt both x and the expert weights (the forward
+    psum transposes to an identity broadcast; each expert's weight grad
+    stays local to its owner)."""
+    ndev = mesh.shape[axis]
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(), P(), P(axis)), out_specs=P(),
              check_vma=False)
     def run(ei, et, x, w_local):
         dev = jax.lax.axis_index(axis)
+        per = w_local.shape[1]
         w_local = w_local[0]                     # (per, F_in, F_out)
         src, dst = ei[0], ei[1]
         local_rel = et - dev * per               # [0, per) when ours
@@ -144,5 +169,18 @@ def relation_expert_spmm(mesh, edge_index, edge_type, x, weights,
         msg = jnp.where(ours[:, None], msg, 0.0)
         return jax.lax.psum(segment_sum(msg, dst, num_nodes), axis)
 
+    return run
+
+
+def relation_expert_spmm(mesh, edge_index, edge_type, x, weights,
+                         num_nodes, axis="ep"):
+    """Relation-typed transform + aggregate with relation weights sharded
+    over `axis` (expert parallelism for RGCN-style models). One-shot
+    wrapper over `make_relation_expert_spmm` + `shard_expert_weights`;
+    weights: (num_relations, F_in, F_out), relation r owned by device
+    r // ceil(num_rel / ndev).
+    """
+    w_sharded = shard_expert_weights(mesh, jnp.asarray(weights), axis)
+    run = make_relation_expert_spmm(mesh, num_nodes, axis)
     return run(jnp.asarray(edge_index), jnp.asarray(edge_type),
                jnp.asarray(x), w_sharded)
