@@ -70,13 +70,15 @@ def bench_spmm(dtype=jnp.bfloat16, F=256):
 
     # source-blocked plan keeps each gather's footprint in the fast regime
     # (~100 MB boundary); bf16 features fit in one block at arxiv scale.
-    # R=128 won the round-3 tile scan (smaller one-hot VPU work); the
-    # packed-gather kernel (segment_matmul._packed_kernel) engages
-    # automatically for bf16 F%256==0.
+    # R=128/ET=512 won the round-3/4 tile scans; the half-packed gather
+    # kernel (segment_matmul.pack_halves + _packed_kernel) engages
+    # automatically for bf16 F%256==0, and window=True gathers COMPACT
+    # (E rows instead of E_pad -- profiler/spmm_win_tune.py).
     footprint = N * F * jnp.dtype(dtype).itemsize
     nb = max(1, -(-footprint // 90_000_000))
     plan = build_csr_plan_blocked(src, dst, N, num_src_blocks=nb,
-                                  R=128, ET=256 if nb > 1 else 512)
+                                  R=128, ET=256 if nb > 1 else 512,
+                                  window=True)
     # static weights (GCN norms) are permuted into plan order once per
     # graph, outside the step
     w_padded = pad_edge_weights(plan, wj)

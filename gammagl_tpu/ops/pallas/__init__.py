@@ -9,6 +9,8 @@ from gammagl_tpu.ops.pallas.segment_matmul import (  # noqa: F401
     spmm_csr,
     pad_edge_weights,
     gather_rows,
+    pack_halves,
+    unpack_halves,
 )
 from gammagl_tpu.ops.pallas.segment_max import (  # noqa: F401
     segment_max_csr,
@@ -54,4 +56,5 @@ __all__ = ["CSRPlan", "BlockedCSRPlan", "build_csr_plan",
            "attention_keep_mask", "BlockPairPlan",
            "build_block_pair_plan", "spmm_block_pair",
            "sddmm_csr", "sddmm_csr_mh", "expand_dst_csr",
-           "HybridPlan", "build_hybrid_plan", "spmm_hybrid"]
+           "HybridPlan", "build_hybrid_plan", "spmm_hybrid",
+           "pack_halves", "unpack_halves"]

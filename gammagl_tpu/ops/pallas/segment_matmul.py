@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["CSRPlan", "BlockedCSRPlan", "build_csr_plan",
            "build_csr_plan_blocked", "segment_sum_csr", "spmm_csr",
            "pad_edge_weights", "gather_rows", "segment_matmul_dyn",
-           "segment_matmul_dyn_vjp"]
+           "segment_matmul_dyn_vjp", "pack_halves", "unpack_halves"]
 
 
 def _cdiv(a, b):
@@ -61,7 +61,8 @@ class CSRPlan:
     """
 
     def __init__(self, *, src_pad, perm, local_row, row_global, tile_block,
-                 tile_first, num_nodes, num_src, num_edges, R, ET):
+                 tile_first, num_nodes, num_src, num_edges, R, ET,
+                 tile_src=None, gsrc=None):
         self.src_pad = src_pad          # (E_pad,) int32, pads clamped to 0
         self.perm = perm                # (E_pad,) int32 into original edges
         self.valid = (local_row < R)    # (E_pad,) bool
@@ -69,6 +70,17 @@ class CSRPlan:
         self.row_global = row_global    # (E_pad,) int32, pads OOB
         self.tile_block = tile_block    # (T,) int32
         self.tile_first = tile_first    # (T,) int32 0/1
+        # Aligned-window ("streamed gather") companion layout, or None:
+        #   tile_src : (T,) int32 -- ET-row window index into the COMPACT
+        #              gathered array each tile reads (windows of adjacent
+        #              dst blocks may overlap; garbage lanes are dropped by
+        #              local_row == R exactly like pads)
+        #   gsrc     : (G,) int32 -- dst-sorted src ids, UNPADDED except a
+        #              clamped tail to a whole number of ET windows. The
+        #              gather engine is row-rate-bound (PERF_NOTES), so
+        #              gathering E instead of E_pad rows is a direct win.
+        self.tile_src = tile_src
+        self.gsrc = gsrc
         self.num_nodes = int(num_nodes)
         self.num_src = int(num_src)
         self.num_edges = int(num_edges)
@@ -77,6 +89,7 @@ class CSRPlan:
         self.E_pad = int(local_row.shape[0])
         self.T = int(tile_block.shape[0])
         self.nblocks = _cdiv(self.num_nodes, self.R)
+        self.gather_len = None if gsrc is None else int(gsrc.shape[0])
 
     def __hash__(self):
         return id(self)
@@ -89,12 +102,24 @@ class CSRPlan:
                 f"E_pad={self.E_pad}, R={self.R}, ET={self.ET}, T={self.T})")
 
 
-def build_csr_plan(src, dst, num_nodes, num_src=None, R=256, ET=512):
+def build_csr_plan(src, dst, num_nodes, num_src=None, R=256, ET=512,
+                   window=False):
     """Build the kernel layout from COO edges (host-side, numpy).
 
     ``src``/``dst`` need not be pre-sorted; edges are stably sorted by ``dst``
     here and ``perm`` records the mapping back to the caller's edge order so
     per-edge attributes (weights, attention scores) can follow.
+
+    ``window=True`` builds the aligned-window companion layout: the source
+    gather is COMPACT (E rows, zero padding -- the gather engine's cost is
+    per ROW, so padded rows are pure loss) and each kernel tile reads its
+    (ET, F) slab of the gathered array at a per-tile window index
+    (``tile_src``, delivered through scalar prefetch). A dst block whose
+    edge range is not ET-aligned shares its boundary windows with the
+    neighboring blocks; the out-of-range lanes carry ``local_row == R`` /
+    zero weight and are dropped by the one-hot exactly like pads. The
+    padding the classic layout gathers is +7..30% at arxiv scale
+    (R/ET-dependent) -- all of it off the gather-engine clock here.
     """
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
@@ -119,6 +144,10 @@ def build_csr_plan(src, dst, num_nodes, num_src=None, R=256, ET=512):
     block_edges = np.searchsorted(
         dst_s, np.arange(0, _cdiv(num_nodes, R) * R + 1, R), side="left")
     nblocks = len(block_edges) - 1
+
+    if window:
+        return _build_window_plan(src_s, dst_s, order, block_edges,
+                                  nblocks, num_nodes, num_src, E, R, ET)
 
     # Fully vectorized layout (the per-block Python loop was the host
     # bottleneck at papers100M scale: ~15 min for a 57M-edge plan; this
@@ -153,6 +182,51 @@ def build_csr_plan(src, dst, num_nodes, num_src=None, R=256, ET=512):
         row_global=row_global, tile_block=tile_block,
         tile_first=np.asarray(tile_first, dtype=np.int32),
         num_nodes=num_nodes, num_src=num_src, num_edges=E, R=R, ET=ET)
+
+
+def _build_window_plan(src_s, dst_s, order, block_edges, nblocks,
+                       num_nodes, num_src, E, R, ET):
+    """Aligned-window layout (see build_csr_plan(window=True)).
+
+    Every tile t of dst block b reads gathered rows
+    [tile_src[t]*ET, tile_src[t]*ET + ET) of the COMPACT dst-sorted
+    gather; a lane is valid iff its global (sorted) edge index falls in
+    block b's range [be[b], be[b+1])."""
+    be = block_edges.astype(np.int64)
+    A = be[:-1] // ET                       # first window per block
+    endw = -(-be[1:] // ET)                 # one-past-last window
+    wt = np.maximum(1, endw - A)            # tiles per block (>=1)
+    T = int(wt.sum())
+    tile_block = np.repeat(np.arange(nblocks, dtype=np.int32), wt)
+    first_t = np.concatenate([[0], np.cumsum(wt)[:-1]])
+    tile_first = np.zeros(T, dtype=np.int32)
+    tile_first[first_t] = 1
+    k_in_block = np.arange(T, dtype=np.int64) - first_t[tile_block]
+    tile_src = (A[tile_block] + k_in_block).astype(np.int32)
+
+    # lane layout: (T, ET) global sorted-edge index per lane
+    g_idx = (tile_src.astype(np.int64)[:, None] * ET
+             + np.arange(ET, dtype=np.int64)[None, :])
+    lo = be[tile_block][:, None]
+    hi = be[tile_block + 1][:, None]
+    valid = (g_idx >= lo) & (g_idx < hi)
+    g_c = np.minimum(g_idx, E - 1) if E else np.zeros_like(g_idx)
+    local_row = np.where(
+        valid, dst_s[g_c] - tile_block.astype(np.int64)[:, None] * R,
+        R).astype(np.int32).reshape(-1)
+    perm = np.where(valid, order[g_c], E).astype(np.int32).reshape(-1)
+    src_pad = np.where(valid, src_s[g_c], 0).astype(np.int32).reshape(-1)
+    row_global = (np.repeat(tile_block, ET).astype(np.int64) * R
+                  + local_row).astype(np.int32)
+
+    G = int(max(endw.max() if nblocks else 1, 1)) * ET
+    gsrc = np.zeros(G, dtype=np.int32)
+    gsrc[:E] = src_s
+    return CSRPlan(
+        src_pad=src_pad, perm=perm, local_row=local_row,
+        row_global=row_global, tile_block=tile_block,
+        tile_first=tile_first, num_nodes=num_nodes, num_src=num_src,
+        num_edges=E, R=R, ET=ET, tile_src=tile_src, gsrc=gsrc)
 
 
 def segment_matmul_dyn(msg, w2d, local_row, tile_block, tile_first, *,
@@ -455,7 +529,8 @@ def _swap_plan(plan, n_src_rows):
         dst_o = plan.row_global[valid].astype(np.int64)
         k = len(lanes)
         tp = build_csr_plan(dst_o, src_o, n_src_rows,
-                            num_src=plan.num_nodes, R=plan.R, ET=plan.ET)
+                            num_src=plan.num_nodes, R=plan.R, ET=plan.ET,
+                            window=plan.tile_src is not None)
         # swap-plan lane -> forward-plan lane (pads -> E_pad sentinel);
         # k == 0 (empty relation / empty bucket): every lane is a pad
         if k == 0:
@@ -472,7 +547,12 @@ def _spmm_gather_reduce(x, w_pad, plan, interpret):
     """Endpoint gather + weighted segment reduce, picking the
     packed-gather kernel when the dtype/width qualifies (bf16, F % 256
     == 0): the f32 bitcast view halves the gather engine's lane groups —
-    the dominant SpMM cost (see _packed_kernel)."""
+    the dominant SpMM cost (see _packed_kernel). Window plans
+    (build_csr_plan(window=True)) additionally gather COMPACT (E rows,
+    no padding) and stream per-tile windows through scalar-prefetched
+    block indices."""
+    if plan.tile_src is not None and x.shape[1] % 128 == 0:
+        return _spmm_win_forward(x, w_pad, plan, interpret)
     if _packed_eligible(x, w_pad):
         return _spmm_packed_forward(x, w_pad, plan, interpret)
     msg = jnp.take(x, jnp.asarray(plan.src_pad), axis=0)
@@ -520,33 +600,68 @@ def _packed_eligible(x, w_pad):
             and x.shape[1] % 256 == 0 and x.shape[1] // 2 <= 512)
 
 
+def pack_halves(x):
+    """Half-packed f32 view of bf16 features: word i of a row carries
+    column i in its low 16 bits and column i + F/2 in its high 16 bits
+    (both raw bf16 bit patterns).
+
+    The gather engine is lane-group-rate-bound, so gathering the (N,
+    F/2) f32 view instead of (N, F) bf16 halves the dominant SpMM cost.
+    Pairing column i with i + F/2 (instead of the adjacent 2i/2i+1 that
+    a plain bitcast view gives) keeps the pack a SAME-SHAPE elementwise
+    fusion -- measured 3.8 ms -> <0.3 ms at arxiv scale, because the
+    adjacent pairing forces an XLA relayout -- and makes the kernel's
+    two unpacked halves land in natural [left | right] column order (no
+    epilogue interleave transpose, another ~2.9 ms saved). bf16 -> f32
+    conversion is exactly a 16-bit left shift of the bit pattern, which
+    is what the (lo >> 16) | hi arithmetic below relies on.
+    """
+    F2 = x.shape[-1] // 2
+    lo = jax.lax.bitcast_convert_type(
+        x[..., :F2].astype(jnp.float32), jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        x[..., F2:].astype(jnp.float32), jnp.uint32)
+    return jax.lax.bitcast_convert_type((lo >> 16) | hi, jnp.float32)
+
+
+def unpack_halves(w):
+    """Inverse of `pack_halves`: (..., F/2) f32 -> (..., F) bf16."""
+    u = jax.lax.bitcast_convert_type(w, jnp.uint32)
+    left = jax.lax.bitcast_convert_type(
+        u << 16, jnp.float32).astype(jnp.bfloat16)
+    right = jax.lax.bitcast_convert_type(
+        u & jnp.uint32(0xFFFF0000), jnp.float32).astype(jnp.bfloat16)
+    return jnp.concatenate([left, right], axis=-1)
+
+
+def _unpack_tile(g):
+    """In-kernel unpack of a half-packed (ET, F2) f32 slab into its two
+    bf16 halves (left = low 16 bits = columns [0, F2), right = high =
+    columns [F2, F)). u32 shifts + same-width bitcasts -- in-register,
+    no relayout."""
+    w32 = jax.lax.bitcast_convert_type(g, jnp.uint32)
+    left = jax.lax.bitcast_convert_type(
+        w32 << 16, jnp.float32).astype(jnp.bfloat16)
+    right = jax.lax.bitcast_convert_type(
+        w32 & jnp.uint32(0xFFFF0000), jnp.float32).astype(jnp.bfloat16)
+    return left, right
+
+
 def _packed_kernel(tb_ref, tf_ref, lr_ref, w_ref, g_ref, out_ref, *,
                    R, ET):
-    """Packed-gather segment matmul: g holds (ET, F/2) f32 words, each
-    packing two adjacent bf16 feature columns. The TPU gather engine is
-    lane-GROUP-rate-bound (PERF_NOTES 'gather wall part 2': 1 group ->
-    328 Mrows/s, 2 -> ~213), so gathering the f32 bitcast view halves
-    the dominant cost of the SpMM at F=256. The kernel splits each 32-bit
-    word into its two bf16 halves with u32 shifts/masks (in-register, no
-    relayout copy) and reduces both halves with one-hot matmuls; the
-    output lands as [even cols | odd cols] and the caller restores the
-    interleave with one transpose. Bit-identical to the unpacked kernel
-    (measured maxerr 0 at arxiv scale); 182 -> 210M edges/s on chip.
-    """
+    """Packed-gather segment matmul: g holds (ET, F/2) f32 words in the
+    `pack_halves` layout. The kernel splits each 32-bit word into its
+    two bf16 halves with u32 shifts + same-width bitcasts in-register
+    and reduces both halves with one-hot matmuls; [left | right] IS the
+    natural column order. Bit-identical to the unpacked kernel."""
     t = pl.program_id(0)
     sel = (jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0) == lr_ref[0])
-    w32 = jax.lax.bitcast_convert_type(g_ref[:], jnp.uint32)
-    # little-endian packing: word = (odd bf16 << 16) | even bf16; a bf16
-    # placed in the high half of an f32 word IS that value as f32
-    even = jax.lax.bitcast_convert_type(
-        w32 << 16, jnp.float32).astype(jnp.bfloat16)
-    odd = jax.lax.bitcast_convert_type(
-        w32 & jnp.uint32(0xFFFF0000), jnp.float32).astype(jnp.bfloat16)
+    left, right = _unpack_tile(g_ref[:])
     oh = jnp.where(sel, w_ref[0].astype(jnp.float32),
                    0.0).astype(jnp.bfloat16)
     acc = jnp.concatenate(
-        [jnp.dot(oh, even, preferred_element_type=jnp.float32),
-         jnp.dot(oh, odd, preferred_element_type=jnp.float32)], axis=1)
+        [jnp.dot(oh, left, preferred_element_type=jnp.float32),
+         jnp.dot(oh, right, preferred_element_type=jnp.float32)], axis=1)
 
     @pl.when(tf_ref[t] == 1)
     def _():
@@ -558,14 +673,13 @@ def _packed_kernel(tb_ref, tf_ref, lr_ref, w_ref, g_ref, out_ref, *,
 
 
 def _spmm_packed_forward(x, w_pad, plan, interpret):
-    """gather (f32 bitcast view) + packed-unpack reduce. Returns the
+    """gather (half-packed f32 view) + packed-unpack reduce. Returns the
     full (nblocks*R, F) table like _spmm_fused's forward."""
     interpret = interpret or jax.default_backend() != "tpu"
     R, ET, T, nb = plan.R, plan.ET, plan.T, plan.nblocks
     N, F = x.shape
     F2 = F // 2
-    hf = jax.lax.bitcast_convert_type(x.reshape(N, F2, 2), jnp.float32)
-    g = jnp.take(hf, jnp.asarray(plan.src_pad), axis=0)
+    g = jnp.take(pack_halves(x), jnp.asarray(plan.src_pad), axis=0)
     kern = partial(_packed_kernel, R=R, ET=ET)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -589,9 +703,136 @@ def _spmm_packed_forward(x, w_pad, plan, interpret):
     )(jnp.asarray(plan.tile_block), jnp.asarray(plan.tile_first),
       jnp.asarray(plan.local_row.reshape(T, 1, ET)),
       w_pad.astype(jnp.float32).reshape(T, 1, ET), g)
-    # [evens | odds] -> natural column interleave
-    return out.reshape(nb * R, 2, F2).transpose(0, 2, 1).reshape(
-        nb * R, F)
+    return out  # [left | right] IS natural order under pack_halves
+
+
+def _packed_win_kernel(tb_ref, tf_ref, ts_ref, lr_ref, w_ref, g_ref,
+                       out_ref, *, R, ET):
+    """_packed_kernel body with the window index prefetch in the arg list
+    (the g BlockSpec consumes ts_ref; the body itself is identical)."""
+    t = pl.program_id(0)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0) == lr_ref[0])
+    left, right = _unpack_tile(g_ref[:])
+    oh = jnp.where(sel, w_ref[0].astype(jnp.float32),
+                   0.0).astype(jnp.bfloat16)
+    acc = jnp.concatenate(
+        [jnp.dot(oh, left, preferred_element_type=jnp.float32),
+         jnp.dot(oh, right, preferred_element_type=jnp.float32)], axis=1)
+
+    @pl.when(tf_ref[t] == 1)
+    def _():
+        out_ref[:] = acc.astype(out_ref.dtype)
+
+    @pl.when(tf_ref[t] == 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc.astype(out_ref.dtype)
+
+
+def _plain_win_kernel(tb_ref, tf_ref, ts_ref, lr_ref, w_ref, g_ref,
+                      out_ref, *, R, ET, f32):
+    """Unpacked window kernel: one-hot reduce of a compact-gathered (ET,
+    FT) slab (same math as segment_matmul_dyn's kernel)."""
+    t = pl.program_id(1)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0) == lr_ref[0])
+    m = g_ref[:]
+    if f32:
+        w = w_ref[0]
+        w_hi_f = w.astype(jnp.bfloat16).astype(jnp.float32)
+        w_lo_f = w - w_hi_f
+        m_hi = m.astype(jnp.bfloat16)
+        m_lo = (m - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        oh_hi = jnp.where(sel, w_hi_f, 0.0).astype(jnp.bfloat16)
+        oh_lo = jnp.where(sel, w_lo_f, 0.0).astype(jnp.bfloat16)
+        acc = (jnp.dot(oh_hi, m_hi, preferred_element_type=jnp.float32)
+               + jnp.dot(oh_hi, m_lo, preferred_element_type=jnp.float32)
+               + jnp.dot(oh_lo, m_hi, preferred_element_type=jnp.float32))
+    else:
+        onehot_w = jnp.where(sel, w_ref[0].astype(jnp.float32),
+                             0.0).astype(m.dtype)
+        acc = jnp.dot(onehot_w, m, preferred_element_type=jnp.float32)
+
+    @pl.when(tf_ref[t] == 1)
+    def _():
+        out_ref[:] = acc.astype(out_ref.dtype)
+
+    @pl.when(tf_ref[t] == 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc.astype(out_ref.dtype)
+
+
+def _spmm_win_forward(x, w_pad, plan, interpret):
+    """Compact gather + window-streamed reduce for a window plan.
+
+    The gather fetches exactly E rows (plus a clamped tail to a whole
+    window); each tile's (ET, F) slab is located by the scalar-prefetched
+    ``tile_src``, so Mosaic's automatic block pipelining double-buffers
+    the slab reads. bf16 F%256==0 rides the packed (f32 bitcast) view.
+    Returns the full (nblocks*R, F) table like _spmm_fused's forward."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    R, ET, T, nb = plan.R, plan.ET, plan.T, plan.nblocks
+    N, F = x.shape
+    tb = jnp.asarray(plan.tile_block)
+    tf = jnp.asarray(plan.tile_first)
+    ts = jnp.asarray(plan.tile_src)
+    lr = jnp.asarray(plan.local_row.reshape(T, 1, ET))
+    gsrc = jnp.asarray(plan.gsrc)
+    if _packed_eligible(x, w_pad):
+        F2 = F // 2
+        g = jnp.take(pack_halves(x), gsrc, axis=0)
+        kern = partial(_packed_win_kernel, R=R, ET=ET)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, 1, ET), lambda t, tb, tf, ts: (t, 0, 0)),
+                pl.BlockSpec((1, 1, ET), lambda t, tb, tf, ts: (t, 0, 0)),
+                pl.BlockSpec((ET, F2), lambda t, tb, tf, ts: (ts[t], 0)),
+            ],
+            out_specs=pl.BlockSpec((R, F),
+                                   lambda t, tb, tf, ts: (tb[t], 0)),
+        )
+        out = pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nb * R, F), jnp.bfloat16),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * R * ET * F * T,
+                bytes_accessed=T * ET * F2 * 4 + nb * R * F * 2,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(tb, tf, ts, lr, w_pad.astype(jnp.float32).reshape(T, 1, ET), g)
+        return out  # [left | right] IS natural order under pack_halves
+    # unpacked: any dtype, F a multiple of 128
+    g = jnp.take(x, gsrc, axis=0)
+    FT = min(512, F)
+    while F % FT:
+        FT //= 2
+    nf = F // FT
+    f32 = x.dtype == jnp.float32
+    kern = partial(_plain_win_kernel, R=R, ET=ET, f32=f32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nf, T),
+        in_specs=[
+            pl.BlockSpec((1, 1, ET), lambda f, t, tb, tf, ts: (t, 0, 0)),
+            pl.BlockSpec((1, 1, ET), lambda f, t, tb, tf, ts: (t, 0, 0)),
+            pl.BlockSpec((ET, FT), lambda f, t, tb, tf, ts: (ts[t], f)),
+        ],
+        out_specs=pl.BlockSpec((R, FT),
+                               lambda f, t, tb, tf, ts: (tb[t], f)),
+    )
+    out = pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * R, F), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * R * ET * F * T,
+            bytes_accessed=(T * ET + nb * R) * F * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(tb, tf, ts, lr,
+      w_pad.astype(jnp.float32).reshape(T, 1, ET), g)
+    return out
 
 
 def segment_matmul_dyn_packed(g_packed, w2d, local_row, tile_block,
@@ -601,7 +842,7 @@ def segment_matmul_dyn_packed(g_packed, w2d, local_row, tile_block,
     `segment_matmul_dyn` analog of `_spmm_packed_forward`) — for the
     shard_map halo tiers, whose per-device plans arrive as sliced jnp
     arrays. ``g_packed`` is (T*ET, F/2) f32, the gather of the bf16
-    feature table's f32 bitcast view. Returns (nblocks*R, F) bf16 in
+    feature table's `pack_halves` view. Returns (nblocks*R, F) bf16 in
     natural column order. NOT differentiable — callers must provide
     their own backward (the planned halo tiers run dx = A^T g via the
     transpose partition, bypassing autodiff here).
@@ -618,17 +859,12 @@ def segment_matmul_dyn_packed(g_packed, w2d, local_row, tile_block,
         t = pl.program_id(0)
         sel = (jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0)
                == lr_ref[0])
-        w32 = jax.lax.bitcast_convert_type(g_ref[:], jnp.uint32)
-        even = jax.lax.bitcast_convert_type(
-            w32 << 16, jnp.float32).astype(jnp.bfloat16)
-        odd = jax.lax.bitcast_convert_type(
-            w32 & jnp.uint32(0xFFFF0000), jnp.float32).astype(
-                jnp.bfloat16)
+        left, right = _unpack_tile(g_ref[:])
         oh = jnp.where(sel, w_ref[0].astype(jnp.float32),
                        0.0).astype(jnp.bfloat16)
         acc = jnp.concatenate(
-            [jnp.dot(oh, even, preferred_element_type=jnp.float32),
-             jnp.dot(oh, odd, preferred_element_type=jnp.float32)],
+            [jnp.dot(oh, left, preferred_element_type=jnp.float32),
+             jnp.dot(oh, right, preferred_element_type=jnp.float32)],
             axis=1)
 
         @pl.when(tf_ref[t] == 1)
@@ -659,8 +895,7 @@ def segment_matmul_dyn_packed(g_packed, w2d, local_row, tile_block,
         ),
         interpret=interpret,
     )(tile_block, tile_first, local_row, w2d, g_packed)
-    return out.reshape(nblocks * R, 2, F2).transpose(0, 2, 1).reshape(
-        nblocks * R, F)
+    return out  # [left | right] IS natural order under pack_halves
 
 
 class BlockedCSRPlan:
@@ -692,7 +927,7 @@ class BlockedCSRPlan:
 
 
 def build_csr_plan_blocked(src, dst, num_nodes, num_src=None, R=256,
-                           ET=256, num_src_blocks=2):
+                           ET=256, num_src_blocks=2, window=False):
     """Source-blocked layout: edges partitioned by src row block, each
     block dst-sorted into its own CSRPlan (global src ids -- the gather
     stays on the full feature matrix but only touches the block's rows)."""
@@ -700,7 +935,8 @@ def build_csr_plan_blocked(src, dst, num_nodes, num_src=None, R=256,
     dst = np.asarray(dst, dtype=np.int64)
     num_src = int(num_src if num_src is not None else num_nodes)
     if num_src_blocks <= 1:
-        return build_csr_plan(src, dst, num_nodes, num_src, R=R, ET=ET)
+        return build_csr_plan(src, dst, num_nodes, num_src, R=R, ET=ET,
+                              window=window)
     rows_per = -(-num_src // num_src_blocks)
     owner = np.minimum(src // rows_per, num_src_blocks - 1)
     blocks = []
@@ -708,7 +944,7 @@ def build_csr_plan_blocked(src, dst, num_nodes, num_src=None, R=256,
     for b in range(num_src_blocks):
         sel = np.nonzero(owner == b)[0]
         sub = build_csr_plan(src[sel], dst[sel], num_nodes, num_src,
-                             R=R, ET=ET)
+                             R=R, ET=ET, window=window)
         # remap perm from block-local to original edge ids (pads stay OOB)
         perm = np.where(sub.perm < len(sel),
                         sel[np.minimum(sub.perm, len(sel) - 1)], E

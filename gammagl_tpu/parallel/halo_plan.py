@@ -35,7 +35,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gammagl_tpu.ops import segment_sum
 from gammagl_tpu.ops.pallas.segment_matmul import (
-    build_csr_plan, segment_matmul_dyn_packed, segment_matmul_dyn_vjp)
+    build_csr_plan, pack_halves, segment_matmul_dyn_packed,
+    segment_matmul_dyn_vjp)
 from gammagl_tpu.parallel.halo import _balanced_relabel, _halo_sets
 from gammagl_tpu.parallel.hier_halo import (HierHaloPartition,
                                             build_hier_halo_partition)
@@ -459,9 +460,7 @@ def _planned_spmm_callable(mesh, part, axis, kernel, interpret,
                 and tbl.dtype == jnp.bfloat16
                 and tbl.shape[-1] % 256 == 0
                 and tbl.shape[-1] // 2 <= 1024):
-            tpk = jax.lax.bitcast_convert_type(
-                tbl.reshape(tbl.shape[0], -1, 2), jnp.float32)
-            g = jnp.take(tpk, src, axis=0, mode="clip")
+            g = jnp.take(pack_halves(tbl), src, axis=0, mode="clip")
             return segment_matmul_dyn_packed(
                 g, w.astype(jnp.float32), lr, tb, tf, R=R, ET=ET,
                 nblocks=nblocks, interpret=interpret)[:rows_per]
@@ -692,9 +691,7 @@ def make_hier_halo_spmm_planned(mesh: Mesh, part: PlannedHierHaloPartition,
                 and tbl.dtype == jnp.bfloat16
                 and tbl.shape[-1] % 256 == 0
                 and tbl.shape[-1] // 2 <= 1024):
-            tpk = jax.lax.bitcast_convert_type(
-                tbl.reshape(tbl.shape[0], -1, 2), jnp.float32)
-            g = jnp.take(tpk, src, axis=0, mode="clip")
+            g = jnp.take(pack_halves(tbl), src, axis=0, mode="clip")
             return segment_matmul_dyn_packed(
                 g, w.astype(jnp.float32), lr, tb, tf, R=R, ET=ET,
                 nblocks=nblocks, interpret=interpret)[:rows_per]
