@@ -106,7 +106,9 @@ def bench_sddmm(dtype=jnp.bfloat16, F=256):
     rng = np.random.default_rng(1)
     dst = (N * (rng.random(E) ** 1.5)).astype(np.int64)
     src = rng.integers(0, N, E)
-    plan = build_csr_plan(src, dst, N)
+    # half-packed compact gather + dst-block dot (no second gather);
+    # R=128/ET=512 window won the round-4 scan for the gather-fed kernels
+    plan = build_csr_plan(src, dst, N, R=128, ET=512, window=True)
     x0 = jnp.asarray(rng.normal(size=(N, F)), dtype)
 
     def step(x):
@@ -126,14 +128,17 @@ def bench_fused_gat(dtype=jnp.bfloat16, F=64):
     GATConv plan path does exactly this)."""
     from gammagl_tpu.ops.pallas import (build_csr_plan,
                                         flash_edge_attention,
-                                        plan_gather_src)
+                                        plan_gather_src_compact)
 
     N, E = 169_343, 2_315_598
     rng = np.random.default_rng(2)
     dst = (N * (rng.random(E) ** 1.5)).astype(np.int64)
     src = rng.integers(0, N, E)
-    # R=128 won the round-3 tile scan for the flash kernel too
-    plan = build_csr_plan(src, dst, N, R=128, ET=512)
+    # window plan: the gather is COMPACT (E rows) and the flash kernel
+    # streams it at scalar-prefetched window indices; ET=1024 won the
+    # round-4 flash tile scan (per-grid-step overhead dominates the
+    # extra dense VPU work -- profiler/flash_kernel_tune.py)
+    plan = build_csr_plan(src, dst, N, R=128, ET=1024, window=True)
     x0 = jnp.asarray(rng.normal(size=(N, F)), dtype)
     a_d = jnp.asarray(rng.normal(size=(N,)), jnp.float32)
 
@@ -141,12 +146,73 @@ def bench_fused_gat(dtype=jnp.bfloat16, F=64):
         packed = jnp.concatenate(
             [x, jnp.sum(x.astype(jnp.float32), 1, keepdims=True
                         ).astype(x.dtype)], axis=1)
-        g = plan_gather_src(packed, plan)
+        g = plan_gather_src_compact(packed, plan)
         out = flash_edge_attention(g[:, F].astype(jnp.float32), a_d,
                                    g[:, :F], plan, 0.2)
         return out.astype(x.dtype)
     t = _chain_time(step, x0)
     return E / t
+
+
+def bench_hgt(dtype=jnp.bfloat16, H=4, D=64):
+    """Hetero attention: HGT relation attention through a TRAIN step
+    (fwd+bwd), per profiler/hgt_attention_bench.py's protocol (bipartite
+    200k->100k nodes, 2M edges, H=4, D=64 bf16). The score is the
+    q.k relation dot (arbitrary-score flash kernel, slope=1); the VERDICT
+    round-3 ask was a hetero number on the board so hetero-path
+    regressions are visible."""
+    from gammagl_tpu.ops.pallas import (build_csr_plan,
+                                        flash_softmax_spmm,
+                                        plan_gather_dst, plan_gather_src)
+
+    N_src, N_dst, E = 200_000, 100_000, 2_000_000
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, N_src, E)
+    dst = (N_dst * (rng.random(E) ** 1.3)).astype(np.int64)
+    plan = build_csr_plan(src, dst, N_dst, num_src=N_src, R=128, ET=512)
+    k0 = jnp.asarray(rng.normal(size=(N_src, H, D)), dtype)
+    v0 = jnp.asarray(rng.normal(size=(N_src, H, D)), dtype)
+    q0 = jnp.asarray(rng.normal(size=(N_dst, H, D)), dtype)
+    pri = jnp.ones((H,), jnp.float32)
+
+    def fused(k, v, q):
+        packed = jnp.concatenate(
+            [k.reshape(-1, H * D), v.reshape(-1, H * D)], axis=1)
+        g = plan_gather_src(packed, plan)
+        q_e = plan_gather_dst(q.reshape(-1, H * D), plan
+                              ).reshape(-1, H, D)
+        k_e = g[:, :H * D].reshape(-1, H, D)
+        score = (q_e.astype(jnp.float32) * k_e.astype(jnp.float32)
+                 ).sum(-1) * pri / (D ** 0.5)
+        outs = [flash_softmax_spmm(
+            score[:, h],
+            jax.lax.slice_in_dim(g, H * D + h * D, H * D + (h + 1) * D,
+                                 axis=1), plan) for h in range(H)]
+        return jnp.concatenate(outs, axis=1)
+
+    KS = 8
+
+    @jax.jit
+    def run(k, v, q):
+        def body(carry, _):
+            k, v, q = carry
+            loss, (gk, gv, gq) = jax.value_and_grad(
+                lambda a, b, c: (fused(a, b, c).astype(jnp.float32)
+                                 ** 2).sum(), argnums=(0, 1, 2))(k, v, q)
+            s = 1e-6
+            return ((k - (s * gk).astype(k.dtype)),
+                    (v - (s * gv).astype(v.dtype)),
+                    (q - (s * gq).astype(q.dtype))), loss
+        _, losses = jax.lax.scan(body, (k, v, q), None, length=KS)
+        return losses.sum()
+
+    float(run(k0, v0, q0))
+    ts = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        float(run(k0 + jnp.asarray(0.01 * r, dtype), v0, q0))
+        ts.append(time.perf_counter() - t0)
+    return E / (min(ts) / KS)
 
 
 def _previous_round():
@@ -175,7 +241,8 @@ def _previous_round():
 
 
 def _deltas(result, prev):
-    keys = ["value", "sddmm_edges_per_s", "fused_gat_edges_per_s"]
+    keys = ["value", "sddmm_edges_per_s", "fused_gat_edges_per_s",
+            "hgt_train_edges_per_s"]
     names = {"value": "spmm"}
     out, regressions = {}, []
     for k in keys:
@@ -194,6 +261,7 @@ def main():
     edges_per_s, ratio, t_spmm = bench_spmm(jnp.bfloat16, F=F)
     sddmm_eps = bench_sddmm(jnp.bfloat16, F=F)
     gat_eps = bench_fused_gat(jnp.bfloat16, F=64)
+    hgt_eps = bench_hgt(jnp.bfloat16)
 
     # speed-of-light accounting (VERDICT round-1): bytes-moved model
     # ((E gathered rows + N written rows) * F * itemsize) vs v5e HBM
@@ -216,7 +284,9 @@ def main():
         "pct_of_gather_wall": round(100 * t_gather_wall / t_spmm, 1),
         "sddmm_edges_per_s": round(sddmm_eps),
         "fused_gat_edges_per_s": round(gat_eps),
-        "protocol": "arxiv-scale 169343n/2315598e bf16 F=256 (GAT F=64)",
+        "hgt_train_edges_per_s": round(hgt_eps),
+        "protocol": "arxiv-scale 169343n/2315598e bf16 F=256 (GAT F=64; "
+                    "HGT 200k->100k/2M edges H=4 D=64 fwd+bwd)",
     }
     prev, prev_n = _previous_round()
     if prev is not None:

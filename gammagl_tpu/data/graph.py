@@ -176,9 +176,14 @@ class Graph(BaseGraph):
         bytes_ = self.num_nodes * int(np.prod(x.shape[1:])) * 4
         return max(1, -(-bytes_ // 90_000_000))
 
-    def csr_plan(self, R=256, ET=None, num_src_blocks=None):
+    def csr_plan(self, R=128, ET=None, num_src_blocks=None, window=True):
         """Cached Pallas segment-matmul layout (dst-major), source-blocked
-        automatically for large feature matrices."""
+        automatically for large feature matrices. ``window=True`` (the
+        default) builds the aligned-window layout: the per-edge source
+        gather is COMPACT (E rows instead of the padded E_pad -- the
+        gather engine is row-rate-bound) and the SpMM / SDDMM / flash
+        kernels stream per-tile slabs at scalar-prefetched window
+        indices. R=128/ET=512 won the round-3/4 on-chip tile scans."""
         if self._csr_plan is None:
             from gammagl_tpu.ops.pallas import build_csr_plan_blocked
             nb = (num_src_blocks if num_src_blocks is not None
@@ -195,7 +200,7 @@ class Graph(BaseGraph):
             ei = np.asarray(self.edge_index)
             object.__setattr__(self, "_csr_plan", build_csr_plan_blocked(
                 ei[0], ei[1], self.num_nodes, R=R, ET=et,
-                num_src_blocks=nb))
+                num_src_blocks=nb, window=window))
         return self._csr_plan
 
     def reorder_rcm(self):

@@ -57,7 +57,8 @@ class GATConv(MessagePassing):
             # training never leaves the fused path.
             import jax
             from gammagl_tpu.ops.pallas import (flash_edge_attention_mh,
-                                                plan_gather_src)
+                                                plan_gather_src,
+                                                plan_gather_src_compact)
             s_src = jnp.einsum("nhf,hf->nh", x, att[0, :, :F])
             a_dst = jnp.einsum("nhf,hf->nh", x, att[0, :, F:])
             # the per-edge source score rides the feature gather: match the
@@ -65,7 +66,12 @@ class GATConv(MessagePassing):
             # to f32 inside the kernel)
             packed = jnp.concatenate(
                 [x.reshape(-1, H * F), s_src.astype(x.dtype)], axis=1)
-            g = plan_gather_src(packed, plan)
+            # window plans gather COMPACT (E rows, no padding; the flash
+            # kernels stream slabs at the plan's window indices)
+            if getattr(plan, "tile_src", None) is not None:
+                g = plan_gather_src_compact(packed, plan)
+            else:
+                g = plan_gather_src(packed, plan)
             keep = None
             if self.dropout_rate > 0 and train:
                 from gammagl_tpu.ops.pallas import attention_keep_mask

@@ -36,6 +36,7 @@ from gammagl_tpu.ops.pallas.flash_attention import (  # noqa: F401
 from gammagl_tpu.ops.pallas.attention import (  # noqa: F401
     plan_gather_src,
     plan_gather_dst,
+    plan_gather_src_compact,
     segment_softmax_padded,
     bspmm_csr,
 )
@@ -50,7 +51,8 @@ __all__ = ["CSRPlan", "BlockedCSRPlan", "build_csr_plan",
            "segment_max_csr", "spmm_max_csr", "segment_min_csr",
            "spmm_min_csr",
            "pad_edge_weights", "gather_rows", "plan_gather_src",
-           "plan_gather_dst", "segment_softmax_padded", "bspmm_csr",
+           "plan_gather_dst", "plan_gather_src_compact",
+           "segment_softmax_padded", "bspmm_csr",
            "flash_edge_attention", "flash_softmax_spmm",
            "flash_edge_attention_mh", "flash_softmax_spmm_mh",
            "attention_keep_mask", "BlockPairPlan",

@@ -12,16 +12,19 @@ the whole pipeline runs in the plan's padded sorted edge order:
     (one per head), never materializing the weighted message matrix.
 """
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from gammagl_tpu.ops.pallas.segment_matmul import (_segment_matmul,
                                                    BlockedCSRPlan, CSRPlan,
+                                                   build_csr_plan,
                                                    gather_rows)
 
-__all__ = ["plan_gather_src", "plan_gather_dst", "segment_softmax_padded",
-           "bspmm_csr"]
+__all__ = ["plan_gather_src", "plan_gather_dst", "plan_gather_src_compact",
+           "segment_softmax_padded", "bspmm_csr"]
 
 
 def _single(plan):
@@ -37,6 +40,55 @@ def plan_gather_src(x, plan):
     """x[src] in padded plan order: (E_pad, ...). The VJP scatter rides
     the sorted segment-matmul kernel (see gather_rows)."""
     return gather_rows(x, _single(plan), "src")
+
+
+def _compact_transpose_plan(plan, n_rows):
+    """Companion plan reducing COMPACT-gather cotangents back to source
+    rows (dst role = the sorted src ids), cached per (plan, n_rows)."""
+    cache = getattr(plan, "_ctplans", None)
+    if cache is None:
+        cache = plan._ctplans = {}
+    tp = cache.get(n_rows)
+    if tp is None:
+        E = plan.num_edges
+        tp = build_csr_plan(np.arange(E, dtype=np.int64),
+                            plan.gsrc[:E].astype(np.int64), n_rows,
+                            num_src=max(E, 1), R=plan.R, ET=plan.ET)
+        cache[n_rows] = tp
+    return tp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def plan_gather_src_compact(x, plan):
+    """x[src] in COMPACT gather order for a window plan: (gather_len,
+    ...) -- row g is the g-th dst-sorted edge's source row (tail pads
+    clamped to row 0). The gather fetches E rows instead of E_pad (the
+    engine is row-rate-bound; padding is pure loss), and
+    `flash_edge_attention` / `flash_softmax_spmm` accept the result
+    directly (they detect compact inputs by length). The VJP scatter
+    rides the sorted segment-matmul kernel like `gather_rows`."""
+    return jnp.take(x, jnp.asarray(_single(plan).gsrc), axis=0)
+
+
+def _gather_compact_fwd(x, plan):
+    return plan_gather_src_compact(x, plan), x.shape[0]
+
+
+def _gather_compact_bwd(plan, n_rows, v):
+    E = plan.num_edges
+    if v.ndim == 1:
+        dx = jax.ops.segment_sum(v[:E], jnp.asarray(plan.gsrc[:E]),
+                                 num_segments=n_rows)
+        return (dx,)
+    tp = _compact_transpose_plan(plan, n_rows)
+    v_ext = jnp.concatenate(
+        [v[:E], jnp.zeros((1,) + v.shape[1:], v.dtype)])
+    msg = jnp.take(v_ext, jnp.asarray(np.minimum(tp.perm, E)), axis=0)
+    w = jnp.asarray(tp.valid).astype(v.dtype)
+    return (_segment_matmul(msg, w, tp, False)[:n_rows],)
+
+
+plan_gather_src_compact.defvjp(_gather_compact_fwd, _gather_compact_bwd)
 
 
 def plan_gather_dst(x, plan):

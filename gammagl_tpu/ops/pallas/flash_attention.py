@@ -17,13 +17,33 @@ Score model (GAT-style additive attention, gat_conv.py:96-100):
 extra feature column, gather once, slice outside); `a_dst` is dense per
 destination row and loads as one (1, R) block per tile — no second gather.
 
-Backward is ALSO one fused Pallas pass (flash-attention-style): the forward
-saves the per-row softmax statistics (m, l), so the backward recomputes
-alpha tile-locally (never materializing it in HBM) and emits all three
-gradients per edge tile:
+Round-4 measured notes (profiler/flash_kernel_tune.py): the kernel keeps
+the DENSE (R, ET) formulation — a lane-wise rewrite (per-edge exp on
+(1, ET) with exact one-hot MXU picks for per-row statistics, `_pick_rows`)
+measured 197-207M e/s against the dense kernel's 223-233M at the GAT
+protocol; Mosaic executes M=1 pick matmuls and the extra select passes
+above the cost of the dense exp, reconfirming the round-3 lane-wise
+negative result. What DID win: compact window reads (below), ET=1024
+tiles (per-grid-step overhead dominates the added dense VPU work), and
+keeping every single-head operand FLAT — a (G,) -> (G, 1) column reshape
+moves the data from lanes to sublanes, an XLA relayout worth ~2 ms per
+operand at arxiv scale, so the H=1 wrappers never materialize column
+shapes.
+
+Inputs may be given in padded lane order (E_pad rows) or COMPACT gather
+order (plan.gather_len rows) when the plan is windowed
+(build_csr_plan(window=True)): per-tile slabs are then located by the
+scalar-prefetched window index, the source gather fetches E rows instead
+of E_pad, and per-lane backward outputs (ds_src, dmsg) accumulate into
+the shared boundary windows via first-visit flags.
+
+Backward is ALSO one fused Pallas pass: the forward saves the per-row
+softmax statistics (m, l), so the backward recomputes alpha tile-locally
+(never materializing it in HBM) and emits all three gradients per edge
+tile:
     dmsg_e  = alpha_e * g[row(e)]                       (one MXU matmul)
     dalpha  = <g[row], msg_e>                           (one MXU matmul)
-    ds_e    = alpha_e * (dalpha_e - c_row) * leaky'(s)  (VPU)
+    ds_e    = alpha_e * (dalpha_e - c_row) * leaky'(s)  (VPU, lanes)
     da_dst  = segment-sum of ds (output-block revisiting accumulation)
 with c_row = <out_row, g_row> computed outside as one streaming rowdot.
 Graphs with per-head F > 512 fall back to the decomposed XLA VJP (GAT
@@ -58,6 +78,18 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def _lane_pad(F):
+    """Feature width the kernels run at. Widths that divide 128 stay
+    UNPADDED -- Mosaic handles sub-128 lane blocks in-register, while
+    padding F=64 GAT messages to 128 columns both materialized a padded
+    copy and doubled every kernel's message bytes (a silent 2x carried
+    from round 1; found in the round-4 flash tune). Irregular widths
+    still pad to the next 128-lane group."""
+    if F % 128 == 0 or 128 % F == 0:
+        return F
+    return _cdiv(F, 128) * 128
+
+
 def _tile_last(plan: CSRPlan):
     """1 for the final tile of each row block (where the normalized output
     is written)."""
@@ -66,6 +98,31 @@ def _tile_last(plan: CSRPlan):
         if t + 1 == plan.T or plan.tile_block[t + 1] != plan.tile_block[t]:
             tl[t] = 1
     return tl
+
+
+def _lane_layout(plan: CSRPlan, n_rows):
+    """(ts, wf, Gt): per-tile slab index into the per-lane operands, the
+    first-visit flag for accumulating per-lane OUTPUTS into shared slabs,
+    and the number of distinct slabs. Lane-order inputs (n_rows == E_pad)
+    use the identity layout; compact inputs (n_rows == gather_len) use
+    the plan's window indices (adjacent dst blocks share boundary
+    windows, hence the accumulate flags)."""
+    if plan.tile_src is not None and n_rows == plan.gather_len:
+        ts = plan.tile_src.astype(np.int32)
+        wf = np.ones(plan.T, np.int32)
+        wf[1:] = (ts[1:] != ts[:-1]).astype(np.int32)
+        return ts, wf, plan.gather_len // plan.ET
+    assert n_rows == plan.E_pad, (n_rows, plan.E_pad, plan.gather_len)
+    return (np.arange(plan.T, dtype=np.int32),
+            np.ones(plan.T, np.int32), plan.T)
+
+
+def _lane_to_pad(plan: CSRPlan):
+    """Map padded-lane position -> compact gather row (for the F > 512
+    XLA fallback, which works in lane order)."""
+    ET = plan.ET
+    return (plan.tile_src.astype(np.int64)[:, None] * ET
+            + np.arange(ET, dtype=np.int64)[None, :]).reshape(-1)
 
 
 def _dot3(a, b, dims, f32):
@@ -88,8 +145,33 @@ def _dot3(a, b, dims, f32):
                                   preferred_element_type=jnp.float32))
 
 
-def _flash_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
-                  *rest, R, ET, slope, f32_msg, has_mask, tid=1):
+def _pick_rows(vals_col, sel_bf):
+    """EXACT one-hot pick of per-row f32 values onto lanes:
+    out[e] = vals[r(e)] where sel selects at most one row per lane.
+    vals_col (R, 1) f32, sel_bf (R, ET) bf16 0/1 -> (1, ET) f32.
+    The bf16 hi+lo split keeps it exact: each output lane receives at
+    most ONE nonzero term per matmul, and hi + lo reconstructs the f32
+    value exactly (standard two-term split)."""
+    v = vals_col.reshape(1, -1)                       # (1, R)
+    v_hi = v.astype(jnp.bfloat16)
+    v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    return (jax.lax.dot_general(v_hi, sel_bf, dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(v_lo, sel_bf, dn,
+                                  preferred_element_type=jnp.float32))
+
+
+def _flash_kernel(tb_ref, tf_ref, tl_ref, ts_ref, lr_ref, ssrc_ref,
+                  adst_ref, *rest, R, ET, slope, f32_msg, has_mask,
+                  tid=1):
+    # Dense (R, ET) formulation. Round-4 A/B (profiler/flash_kernel_tune
+    # .py): lane-wise exp with one-hot MXU picks measured 197-207M e/s vs
+    # the dense kernel's 223-233M at the GAT protocol -- Mosaic executes
+    # M=1 pick matmuls and the extra select passes above the cost of the
+    # dense exp (confirming the round-3 lane-wise negative result). The
+    # winning moves were COMPACT window reads (ts_ref) and bigger tiles
+    # (ET=1024), not fewer transcendentals.
     if has_mask:
         (mask_ref, msg_ref, out_ref, m_out_ref, l_out_ref,
          m_ref, l_ref, acc_ref) = rest
@@ -114,8 +196,8 @@ def _flash_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
     m_old = m_ref[:]
     m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
     # rows untouched so far keep m == _NEG; exp(_NEG - _NEG) would be
-    # exp(0) = 1 which is fine (acc and l are 0), but guard the rescale
-    # against (-inf) - (-inf) style NaNs from the stand-in arithmetic.
+    # exp(0) = 1, so invalid pairs need the explicit mask (rows with no
+    # edges must stay exactly zero).
     scale = jnp.exp(jnp.minimum(m_old - m_new, 0.0))
     p = jnp.where(sel, jnp.exp(s - m_new), 0.0)
 
@@ -153,19 +235,17 @@ def _flash_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
 
 def _flash_forward(s_src_pad, a_dst, msg, plan, slope, interpret,
                    keep_pad=None):
-    """Single-head forward: the H=1 slice of the multi-head launch (all
-    reshapes below are layout no-ops at H=1 — one implementation keeps
-    the BlockSpecs/scratch/cost logic in exactly one place).
-    Returns (out (nb*R, F), m (nb,1,R), l (nb,1,R))."""
-    out, m, l = _flash_forward_mh(
-        s_src_pad.reshape(-1, 1), a_dst.reshape(-1, 1), msg[:, None, :],
-        plan, slope, interpret,
-        None if keep_pad is None else keep_pad.reshape(-1, 1))
+    """Single-head forward: the flat-mode multi-head launch (msg stays
+    2-D and the score vectors 1-D -- column reshapes are relayouts, see
+    the module notes). Returns (out (nb*R, F), m (nb,1,R), l (nb,1,R))."""
+    out, m, l = _flash_forward_mh(s_src_pad, a_dst, msg, plan, slope,
+                                  interpret, keep_pad)
     return out[0], m, l
 
 
-def _flash_bwd_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
-                      *rest, R, ET, slope, f32_msg, has_mask, tid=0):
+def _flash_bwd_kernel(tb_ref, tf_ref, tl_ref, ts_ref, wf_ref, lr_ref,
+                      ssrc_ref, adst_ref, *rest, R, ET, slope, f32_msg,
+                      has_mask, tid=0):
     if has_mask:
         (mask_ref, m_ref, l_ref, c_ref, msg_ref, g_ref,
          dss_ref, da_ref, dmsg_ref, da_acc) = rest
@@ -202,15 +282,33 @@ def _flash_bwd_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
     ds = ds * jnp.where(s_pre >= 0, 1.0, slope)               # leaky' VJP
     ds = jnp.where(sel, ds, 0.0)
 
-    # per-edge score grad: exactly one valid row per edge -> column sum
-    dss_ref[:] = jnp.sum(ds, axis=0).reshape(1, 1, ET)
+    # per-edge score grad (column sum: one valid row per edge), written
+    # into (possibly shared) window slabs via first-visit accumulation
+    ds_blk = jnp.sum(ds, axis=0).reshape(1, 1, ET)
+
+    @pl.when(wf_ref[t] == 1)
+    def _():
+        dss_ref[:] = ds_blk
+
+    @pl.when(wf_ref[t] == 0)
+    def _():
+        dss_ref[:] = dss_ref[:] + ds_blk
 
     # dmsg[e] = alpha_e * g_row(e): contract the R dim of alpha with g
     if f32_msg:
         dmsg = _dot3(alpha_w, gf, ((0,), (0,)), True)
     else:
-        dmsg = _dot3(alpha_w.astype(jnp.bfloat16), g, ((0,), (0,)), False)
-    dmsg_ref[:] = dmsg.astype(dmsg_ref.dtype)
+        dmsg = _dot3(alpha_w.astype(jnp.bfloat16), g, ((0,), (0,)),
+                     False)
+    dmsg = dmsg.astype(dmsg_ref.dtype)
+
+    @pl.when(wf_ref[t] == 1)
+    def _():
+        dmsg_ref[:] = dmsg
+
+    @pl.when(wf_ref[t] == 0)
+    def _():
+        dmsg_ref[:] = dmsg_ref[:] + dmsg
 
     # da_dst[r] = sum over this block's edges; accumulate across the
     # block's tiles via output revisiting
@@ -231,13 +329,10 @@ def _flash_bwd_kernel(tb_ref, tf_ref, tl_ref, lr_ref, ssrc_ref, adst_ref,
 
 def _flash_backward(s_src_pad, a_dst, msg, m, l, c_blocks, g_pad, plan,
                     slope, interpret, keep_pad=None):
-    """Single-head fused gradients via the H=1 multi-head launch.
-    Returns (ds_src (E_pad,), da_full (nb*R,), dmsg (E_pad, F))."""
-    dss, da, dmsg = _flash_backward_mh(
-        s_src_pad.reshape(-1, 1), a_dst.reshape(-1, 1), msg, m, l,
-        c_blocks, g_pad, plan, slope, interpret,
-        None if keep_pad is None else keep_pad.reshape(-1, 1))
-    return dss.reshape(-1), da.reshape(-1), dmsg[:, 0, :]
+    """Single-head fused gradients via the flat-mode multi-head launch.
+    Returns (ds_src (n_lanes,), da_full (nb*R,), dmsg (n_lanes, F))."""
+    return _flash_backward_mh(s_src_pad, a_dst, msg, m, l, c_blocks,
+                              g_pad, plan, slope, interpret, keep_pad)
 
 
 def _alpha_xla(s_src_pad, a_dst, plan, slope):
@@ -268,14 +363,18 @@ def flash_edge_attention(s_src_pad, a_dst, msg, plan, slope=0.2,
                          interpret=False, keep_pad=None):
     """out[d] = sum_e softmax_d(leaky_relu(s_src + a_dst[d]))_e * msg[e].
 
-    Single fused Pallas pass (online softmax). Inputs are in the plan's
-    padded destination-sorted order:
-      s_src_pad : (E_pad,) per-edge source score contribution
+    Single fused Pallas pass (online softmax). Per-edge inputs are in
+    the plan's padded destination-sorted lane order, OR — for a window
+    plan (build_csr_plan(window=True)) — in COMPACT gather order
+    (plan.gather_len rows), in which case the source gather is unpadded
+    and per-tile slabs stream at scalar-prefetched window indices:
+      s_src_pad : (E_pad,) or (gather_len,) per-edge source score
       a_dst     : (num_nodes,) per-destination score contribution
-      msg       : (E_pad, F) gathered source features
+      msg       : (E_pad, F) or (gather_len, F) gathered source features
       keep_pad  : optional (E_pad,) post-softmax alpha weights -- the
                   fused form of attention dropout (values {0, 1/keep});
-                  treated as non-differentiable (zero cotangent).
+                  treated as non-differentiable (zero cotangent). Always
+                  lane-order (it is generated per lane, not gathered).
     Returns (num_nodes, F). Differentiable w.r.t. the three tensor args;
     the backward is a second fused Pallas pass (XLA fallback for F > 512).
     """
@@ -293,13 +392,22 @@ def _fwd(s_src_pad, a_dst, msg, plan, slope, interpret, keep_pad=None):
 
 def _bwd_xla(plan, slope, res, g):
     s_src_pad, a_dst, msg, keep_pad = res
-    alpha, s_pre, rows, rows_c, valid = _alpha_xla(s_src_pad, a_dst, plan,
+    compact = s_src_pad.shape[0] != plan.E_pad
+    if compact:
+        # expand compact inputs to lane order for the decomposed path;
+        # cotangents fold back by segment-sum over shared window lanes
+        l2g = jnp.asarray(_lane_to_pad(plan))
+        s_lane = jnp.take(s_src_pad, l2g)
+        msg_lane = jnp.take(msg, l2g, axis=0)
+    else:
+        s_lane, msg_lane = s_src_pad, msg
+    alpha, s_pre, rows, rows_c, valid = _alpha_xla(s_lane, a_dst, plan,
                                                    slope)
     g = g.astype(jnp.float32)
     g_pad = jnp.zeros((plan.nblocks * plan.R, g.shape[1]), jnp.float32
                       ).at[:g.shape[0]].set(g)
     g_rows = jnp.take(g_pad, rows_c, axis=0)
-    msf = msg.astype(jnp.float32)
+    msf = msg_lane.astype(jnp.float32)
     dalpha = jnp.sum(g_rows * msf, axis=-1)
     if keep_pad is not None:
         w = keep_pad.astype(jnp.float32)
@@ -314,10 +422,16 @@ def _bwd_xla(plan, slope, res, g):
     ds = alpha * (dalpha - inner[rows_c])
     ds = ds * jnp.where(s_pre >= 0, 1.0, slope)   # leaky_relu VJP
     ds = jnp.where(valid, ds, 0.0)
-    ds_src = ds.astype(s_src_pad.dtype)
     da_full = jax.ops.segment_sum(ds, rows,
                                   num_segments=plan.nblocks * plan.R)
     da_dst = da_full[:a_dst.shape[0]].astype(a_dst.dtype)
+    if compact:
+        ds = jax.ops.segment_sum(ds, l2g,
+                                 num_segments=plan.gather_len)
+        dmsg = jax.ops.segment_sum(dmsg.astype(jnp.float32), l2g,
+                                   num_segments=plan.gather_len
+                                   ).astype(msg.dtype)
+    ds_src = ds.astype(s_src_pad.dtype)
     dkeep = None if keep_pad is None else jnp.zeros_like(keep_pad)
     return ds_src, da_dst, dmsg, dkeep
 
@@ -354,20 +468,32 @@ def _flash_forward_mh(s_src_pad, a_dst, msg, plan, slope, interpret,
                       keep_pad=None):
     """Multi-head forward: ONE pallas_call with the head on the grid.
 
-    s_src_pad (E_pad, H) / a_dst (N, H) / msg (E_pad, H, F) /
-    keep_pad (E_pad, H). Returns (out (H, nb*R, F), m (H*nb,1,R),
-    l (H*nb,1,R)). Head h's blocks stack along the leading dim of every
-    operand, so the 3-D layouts (and the single-head kernel body) are
-    reused verbatim — only the index maps gain `h*T + t` / `h*nb + tb[t]`
-    offsets.
+    s_src_pad (n_lanes, H) / a_dst (N, H) / msg (n_lanes, H, F) /
+    keep_pad (E_pad, H), where n_lanes is E_pad (lane order) or
+    plan.gather_len (compact window order). Returns (out (H, nb*R, F),
+    m (H*nb,1,R), l (H*nb,1,R)). Head h's blocks stack along the leading
+    dim of every operand, so the 3-D layouts (and the single-head kernel
+    body) are reused verbatim — only the index maps gain offsets.
     """
     interpret = interpret or jax.default_backend() != "tpu"
     R, ET, T = plan.R, plan.ET, plan.T
-    E_pad, H, F = msg.shape
-    assert E_pad == plan.E_pad
+    # FLAT single-head mode: msg (n_lanes, F), scores 1-D. Column shapes
+    # ((n, 1), .T) move lane data onto sublanes -- an XLA relayout worth
+    # ~2 ms PER OPERAND at arxiv scale (measured, round-4 flash tune) --
+    # so the H = 1 path never materializes them.
+    flat = msg.ndim == 2
+    if flat:
+        n_lanes, F = msg.shape
+        H = 1
+    else:
+        n_lanes, H, F = msg.shape
+    ts_np, _, Gt = _lane_layout(plan, n_lanes)
     nb = plan.nblocks
-    F_pad = _cdiv(F, 128) * 128
-    msg = msg.transpose(1, 0, 2).reshape(H * E_pad, F)
+    F_pad = _lane_pad(F)
+    if flat or H == 1:
+        msg = msg.reshape(n_lanes, F)
+    else:
+        msg = msg.transpose(1, 0, 2).reshape(H * n_lanes, F)
     if F_pad != F:
         msg = jnp.pad(msg, ((0, 0), (0, F_pad - F)))
     FT = min(512, F_pad)
@@ -376,42 +502,59 @@ def _flash_forward_mh(s_src_pad, a_dst, msg, plan, slope, interpret,
     nf = F_pad // FT
 
     local_row = jnp.asarray(plan.local_row.reshape(T, 1, ET))
-    ssrc = s_src_pad.astype(jnp.float32).T.reshape(H * T, 1, ET)
-    a_full = jnp.zeros((H, nb * R), jnp.float32).at[
-        :, :a_dst.shape[0]].set(a_dst.astype(jnp.float32).T
-                                ).reshape(H * nb, 1, R)
+    if flat or H == 1:
+        ssrc = s_src_pad.astype(jnp.float32).reshape(Gt, 1, ET)
+        a_full = jnp.zeros((nb * R,), jnp.float32).at[
+            :a_dst.shape[0]].set(a_dst.astype(jnp.float32).reshape(-1)
+                                 ).reshape(nb, 1, R)
+    else:
+        ssrc = s_src_pad.astype(jnp.float32).T.reshape(H * Gt, 1, ET)
+        a_full = jnp.zeros((H, nb * R), jnp.float32).at[
+            :, :a_dst.shape[0]].set(a_dst.astype(jnp.float32).T
+                                    ).reshape(H * nb, 1, R)
 
     has_mask = keep_pad is not None
     mask_in, mask_spec = (), ()
     if has_mask:
-        mask_in = (keep_pad.astype(jnp.float32).T.reshape(H * T, 1, ET),)
+        if flat or H == 1:
+            mask_in = (keep_pad.astype(jnp.float32).reshape(T, 1, ET),)
+        else:
+            mask_in = (keep_pad.astype(jnp.float32).T.reshape(
+                H * T, 1, ET),)
         mask_spec = (pl.BlockSpec(
-            (1, 1, ET), lambda h, f, t, tb, tf, tl: (h * T + t, 0, 0)),)
+            (1, 1, ET),
+            lambda h, f, t, tb, tf, tl, ts: (h * T + t, 0, 0)),)
 
     kern = functools.partial(
         _flash_kernel, R=R, ET=ET, slope=slope,
         f32_msg=msg.dtype == jnp.float32, has_mask=has_mask, tid=2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(H, nf, T),
         in_specs=[
             pl.BlockSpec((1, 1, ET),
-                         lambda h, f, t, tb, tf, tl: (t, 0, 0)),
+                         lambda h, f, t, tb, tf, tl, ts: (t, 0, 0)),
             pl.BlockSpec((1, 1, ET),
-                         lambda h, f, t, tb, tf, tl: (h * T + t, 0, 0)),
+                         lambda h, f, t, tb, tf, tl, ts:
+                         (h * Gt + ts[t], 0, 0)),
             pl.BlockSpec((1, 1, R),
-                         lambda h, f, t, tb, tf, tl: (h * nb + tb[t], 0, 0)),
+                         lambda h, f, t, tb, tf, tl, ts:
+                         (h * nb + tb[t], 0, 0)),
             *mask_spec,
             pl.BlockSpec((ET, FT),
-                         lambda h, f, t, tb, tf, tl: (h * T + t, f)),
+                         lambda h, f, t, tb, tf, tl, ts:
+                         (h * Gt + ts[t], f)),
         ],
         out_specs=[
             pl.BlockSpec((R, FT),
-                         lambda h, f, t, tb, tf, tl: (h * nb + tb[t], f)),
+                         lambda h, f, t, tb, tf, tl, ts:
+                         (h * nb + tb[t], f)),
             pl.BlockSpec((1, 1, R),
-                         lambda h, f, t, tb, tf, tl: (h * nb + tb[t], 0, 0)),
+                         lambda h, f, t, tb, tf, tl, ts:
+                         (h * nb + tb[t], 0, 0)),
             pl.BlockSpec((1, 1, R),
-                         lambda h, f, t, tb, tf, tl: (h * nb + tb[t], 0, 0)),
+                         lambda h, f, t, tb, tf, tl, ts:
+                         (h * nb + tb[t], 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((R, 1), jnp.float32),
@@ -429,76 +572,102 @@ def _flash_forward_mh(s_src_pad, a_dst, msg, plan, slope, interpret,
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * R * ET * F_pad * T * H,
-            bytes_accessed=H * (E_pad * F_pad + nb * R * F_pad)
+            bytes_accessed=H * (n_lanes * F_pad + nb * R * F_pad)
             * msg.dtype.itemsize,
-            transcendentals=H * E_pad * R,
+            transcendentals=H * T * ET,
         ),
         interpret=interpret,
     )(jnp.asarray(plan.tile_block), jnp.asarray(plan.tile_first),
-      jnp.asarray(_tile_last(plan)), local_row, ssrc, a_full, *mask_in,
-      msg)
+      jnp.asarray(_tile_last(plan)), jnp.asarray(ts_np), local_row,
+      ssrc, a_full, *mask_in, msg)
     return out.reshape(H, nb * R, F_pad)[:, :, :F], m, l
 
 
 def _flash_backward_mh(s_src_pad, a_dst, msg, m, l, c_blocks, g_pad, plan,
                        slope, interpret, keep_pad=None):
-    """Multi-head fused gradients. msg (H*E_pad, F_pad-able), g_pad
-    (H*nb*R, F). Returns (dss (E_pad, H), da (N-extended (H, nb*R)),
-    dmsg (H, E_pad, F))."""
+    """Multi-head fused gradients. msg (H*n_lanes, F_pad-able), g_pad
+    (H*nb*R, F). Returns (dss (n_lanes, H), da ((H, nb*R)),
+    dmsg (n_lanes, H, F)) -- or flat shapes ((n_lanes,), (nb*R,),
+    (n_lanes, F)) when s_src_pad is 1-D (flat single-head mode; column
+    shapes are relayouts, see the module notes)."""
     interpret = interpret or jax.default_backend() != "tpu"
     R, ET, T, nb = plan.R, plan.ET, plan.T, plan.nblocks
-    E_pad = plan.E_pad
-    H = s_src_pad.shape[1]
+    flat = s_src_pad.ndim == 1
+    H = 1 if flat else s_src_pad.shape[1]
+    n_lanes = s_src_pad.shape[0]
+    ts_np, wf_np, Gt = _lane_layout(plan, n_lanes)
     F = msg.shape[1]
-    F_pad = _cdiv(F, 128) * 128
+    F_pad = _lane_pad(F)
     if F_pad != F:
         msg = jnp.pad(msg, ((0, 0), (0, F_pad - F)))
         g_pad = jnp.pad(g_pad, ((0, 0), (0, F_pad - F)))
 
     local_row = jnp.asarray(plan.local_row.reshape(T, 1, ET))
-    ssrc = s_src_pad.astype(jnp.float32).T.reshape(H * T, 1, ET)
-    a_full = jnp.zeros((H, nb * R), jnp.float32).at[
-        :, :a_dst.shape[0]].set(a_dst.astype(jnp.float32).T
-                                ).reshape(H * nb, 1, R)
+    if flat or H == 1:
+        ssrc = s_src_pad.astype(jnp.float32).reshape(Gt, 1, ET)
+        a_full = jnp.zeros((nb * R,), jnp.float32).at[
+            :a_dst.shape[0]].set(a_dst.astype(jnp.float32).reshape(-1)
+                                 ).reshape(nb, 1, R)
+    else:
+        ssrc = s_src_pad.astype(jnp.float32).T.reshape(H * Gt, 1, ET)
+        a_full = jnp.zeros((H, nb * R), jnp.float32).at[
+            :, :a_dst.shape[0]].set(a_dst.astype(jnp.float32).T
+                                    ).reshape(H * nb, 1, R)
 
     has_mask = keep_pad is not None
     mask_in, mask_spec = (), ()
     if has_mask:
-        mask_in = (keep_pad.astype(jnp.float32).T.reshape(H * T, 1, ET),)
+        if flat or H == 1:
+            mask_in = (keep_pad.astype(jnp.float32).reshape(T, 1, ET),)
+        else:
+            mask_in = (keep_pad.astype(jnp.float32).T.reshape(
+                H * T, 1, ET),)
         mask_spec = (pl.BlockSpec(
-            (1, 1, ET), lambda h, t, tb, tf, tl: (h * T + t, 0, 0)),)
+            (1, 1, ET),
+            lambda h, t, tb, tf, tl, ts, wf: (h * T + t, 0, 0)),)
 
     kern = functools.partial(
         _flash_bwd_kernel, R=R, ET=ET, slope=slope,
         f32_msg=msg.dtype == jnp.float32, has_mask=has_mask, tid=1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(H, T),
         in_specs=[
-            pl.BlockSpec((1, 1, ET), lambda h, t, tb, tf, tl: (t, 0, 0)),
             pl.BlockSpec((1, 1, ET),
-                         lambda h, t, tb, tf, tl: (h * T + t, 0, 0)),
+                         lambda h, t, tb, tf, tl, ts, wf: (t, 0, 0)),
+            pl.BlockSpec((1, 1, ET),
+                         lambda h, t, tb, tf, tl, ts, wf:
+                         (h * Gt + ts[t], 0, 0)),
             pl.BlockSpec((1, 1, R),
-                         lambda h, t, tb, tf, tl: (h * nb + tb[t], 0, 0)),
+                         lambda h, t, tb, tf, tl, ts, wf:
+                         (h * nb + tb[t], 0, 0)),
             *mask_spec,
             pl.BlockSpec((1, 1, R),
-                         lambda h, t, tb, tf, tl: (h * nb + tb[t], 0, 0)),
+                         lambda h, t, tb, tf, tl, ts, wf:
+                         (h * nb + tb[t], 0, 0)),
             pl.BlockSpec((1, 1, R),
-                         lambda h, t, tb, tf, tl: (h * nb + tb[t], 0, 0)),
+                         lambda h, t, tb, tf, tl, ts, wf:
+                         (h * nb + tb[t], 0, 0)),
             pl.BlockSpec((1, 1, R),
-                         lambda h, t, tb, tf, tl: (h * nb + tb[t], 0, 0)),
+                         lambda h, t, tb, tf, tl, ts, wf:
+                         (h * nb + tb[t], 0, 0)),
             pl.BlockSpec((ET, F_pad),
-                         lambda h, t, tb, tf, tl: (h * T + t, 0)),
+                         lambda h, t, tb, tf, tl, ts, wf:
+                         (h * Gt + ts[t], 0)),
             pl.BlockSpec((R, F_pad),
-                         lambda h, t, tb, tf, tl: (h * nb + tb[t], 0)),
+                         lambda h, t, tb, tf, tl, ts, wf:
+                         (h * nb + tb[t], 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, ET),
-                         lambda h, t, tb, tf, tl: (h * T + t, 0, 0)),
+                         lambda h, t, tb, tf, tl, ts, wf:
+                         (h * Gt + ts[t], 0, 0)),
             pl.BlockSpec((1, 1, R),
-                         lambda h, t, tb, tf, tl: (h * nb + tb[t], 0, 0)),
+                         lambda h, t, tb, tf, tl, ts, wf:
+                         (h * nb + tb[t], 0, 0)),
             pl.BlockSpec((ET, F_pad),
-                         lambda h, t, tb, tf, tl: (h * T + t, 0)),
+                         lambda h, t, tb, tf, tl, ts, wf:
+                         (h * Gt + ts[t], 0)),
         ],
         scratch_shapes=[pltpu.VMEM((1, 1, R), jnp.float32)],
     )
@@ -506,23 +675,29 @@ def _flash_backward_mh(s_src_pad, a_dst, msg, m, l, c_blocks, g_pad, plan,
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((H * T, 1, ET), jnp.float32),
+            jax.ShapeDtypeStruct((H * Gt, 1, ET), jnp.float32),
             jax.ShapeDtypeStruct((H * nb, 1, R), jnp.float32),
-            jax.ShapeDtypeStruct((H * E_pad, F_pad), msg.dtype),
+            jax.ShapeDtypeStruct((H * n_lanes, F_pad), msg.dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * R * ET * F_pad * T * H,
-            bytes_accessed=2 * H * (E_pad * F_pad + nb * R * F_pad)
+            bytes_accessed=2 * H * (n_lanes * F_pad + nb * R * F_pad)
             * msg.dtype.itemsize,
-            transcendentals=H * E_pad * R,
+            transcendentals=H * T * ET,
         ),
         interpret=interpret,
     )(jnp.asarray(plan.tile_block), jnp.asarray(plan.tile_first),
-      jnp.asarray(_tile_last(plan)), local_row, ssrc, a_full, *mask_in,
+      jnp.asarray(_tile_last(plan)), jnp.asarray(ts_np),
+      jnp.asarray(wf_np), local_row, ssrc, a_full, *mask_in,
       m, l, c_blocks, msg, g_pad)
-    return (dss.reshape(H, E_pad).T,
+    if flat:
+        return (dss.reshape(n_lanes), da.reshape(nb * R), dmsg[:, :F])
+    if H == 1:
+        return (dss.reshape(n_lanes, 1), da.reshape(1, nb * R),
+                dmsg[:, :F].reshape(n_lanes, 1, F))
+    return (dss.reshape(H, n_lanes).T,
             da.reshape(H, nb * R),
-            dmsg.reshape(H, E_pad, F_pad)[:, :, :F].transpose(1, 0, 2))
+            dmsg.reshape(H, n_lanes, F_pad)[:, :, :F].transpose(1, 0, 2))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -533,8 +708,9 @@ def flash_edge_attention_mh(s_src_pad, a_dst, msg, plan, slope=0.2,
     and one XLA graph node for all heads — smaller graphs, faster
     compiles, identical math).
 
-      s_src_pad (E_pad, H) / a_dst (N, H) / msg (E_pad, H, F) /
-      keep_pad (E_pad, H) -> out (N, H, F).
+      s_src_pad (n_lanes, H) / a_dst (N, H) / msg (n_lanes, H, F) /
+      keep_pad (E_pad, H) -> out (N, H, F),
+    where n_lanes is E_pad or plan.gather_len (compact window order).
 
     Per-head F must pad to <= 512 lanes (the single-tile feature limit);
     callers fall back to the per-head loop + XLA VJP beyond that.
@@ -553,7 +729,7 @@ def _fwd_mh(s_src_pad, a_dst, msg, plan, slope, interpret, keep_pad=None):
 
 def _bwd_mh(plan, slope, interpret, res, g):
     s_src_pad, a_dst, msg, m, l, out, keep_pad = res
-    E_pad, H, F = msg.shape
+    n_lanes, H, F = msg.shape
     if _cdiv(F, 128) * 128 > 512:
         # per-head XLA fallback beyond the single-tile feature limit
         # (same guard as the single-head _bwd at F > 512)
@@ -576,8 +752,10 @@ def _bwd_mh(plan, slope, interpret, res, g):
     g_flat = g_pad.reshape(H * nbR, F)
     if msg.dtype != jnp.float32:
         g_flat = g_flat.astype(msg.dtype)
-    msg_flat = msg.transpose(1, 0, 2).reshape(H * E_pad, F).astype(
-        msg.dtype)
+    if H == 1:
+        msg_flat = msg.reshape(n_lanes, F)
+    else:
+        msg_flat = msg.transpose(1, 0, 2).reshape(H * n_lanes, F)
     dss, da, dmsg = _flash_backward_mh(
         s_src_pad, a_dst, msg_flat, m, l, c_blocks, g_flat, plan, slope,
         interpret, keep_pad)
@@ -593,7 +771,7 @@ flash_edge_attention_mh.defvjp(_fwd_mh, _bwd_mh)
 def flash_softmax_spmm_mh(scores_pad, msg, plan, interpret=False,
                           keep_pad=None):
     """Multi-head `flash_softmax_spmm` (arbitrary per-edge scores):
-    scores_pad (E_pad, H), msg (E_pad, H, F) -> (N, H, F), one
+    scores_pad (n_lanes, H), msg (n_lanes, H, F) -> (N, H, F), one
     pallas_call for all heads."""
     zeros = jnp.zeros((plan.num_nodes, scores_pad.shape[1]), jnp.float32)
     return flash_edge_attention_mh(scores_pad, zeros, msg, plan, 1.0,

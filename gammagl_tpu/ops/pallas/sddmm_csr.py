@@ -32,9 +32,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gammagl_tpu.ops.pallas.segment_matmul import (_segment_matmul,
-                                                   gather_rows)
-from gammagl_tpu.ops.pallas.flash_attention import _dot3
+from gammagl_tpu.ops.pallas.segment_matmul import (_packed_eligible,
+                                                   _segment_matmul,
+                                                   _spmm_gather_reduce,
+                                                   _swap_plan, _unpack_tile,
+                                                   gather_rows, pack_halves)
+from gammagl_tpu.ops.pallas.flash_attention import _dot3, _lane_pad
 
 __all__ = ["sddmm_csr", "sddmm_csr_mh", "expand_dst_csr"]
 
@@ -92,7 +95,7 @@ def _sddmm_forward_mh(msg, xd_full, plan, interpret):
     R, ET, T, nb = plan.R, plan.ET, plan.T, plan.nblocks
     H = msg.shape[0] // plan.E_pad
     F = msg.shape[1]
-    F_pad = _cdiv(F, 128) * 128
+    F_pad = _lane_pad(F)
     if F_pad != F:
         msg = jnp.pad(msg, ((0, 0), (0, F_pad - F)))
         xd_full = jnp.pad(xd_full, ((0, 0), (0, F_pad - F)))
@@ -134,7 +137,7 @@ def _sddmm_backward_mh(g, xd_full, plan, out_dtype, interpret):
     R, ET, T, nb = plan.R, plan.ET, plan.T, plan.nblocks
     H = g.shape[0] // T
     F = xd_full.shape[1]
-    F_pad = _cdiv(F, 128) * 128
+    F_pad = _lane_pad(F)
     if F_pad != F:
         xd_full = jnp.pad(xd_full, ((0, 0), (0, F_pad - F)))
     FT = min(512, F_pad)
@@ -200,16 +203,111 @@ def _sddmm_inner_bwd(plan, interpret, res, g):
 _sddmm_inner.defvjp(_sddmm_inner_fwd, _sddmm_inner_bwd)
 
 
+def _sddmm_packed_kernel(tb_ref, ts_ref, lr_ref, g_ref, xd_ref, out_ref,
+                         *, R, ET, F2):
+    """Packed-gather SDDMM tile: g is the half-packed (ET, F2) f32 slab
+    of the src gather; the dst block streams dense (R, F) bf16. The
+    per-edge dot splits over the two unpacked halves (left = columns
+    [0, F2), right = [F2, F)) -- two MXU matmuls, f32 accumulation."""
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0) == lr_ref[0])
+    left, right = _unpack_tile(g_ref[:])
+    dn = (((1,), (1,)), ((), ()))
+    d = (jax.lax.dot_general(xd_ref[:, :F2], left, dn,
+                             preferred_element_type=jnp.float32)
+         + jax.lax.dot_general(xd_ref[:, F2:], right, dn,
+                               preferred_element_type=jnp.float32))
+    out_ref[:] = jnp.sum(jnp.where(sel, d, 0.0), axis=0).reshape(1, 1, ET)
+
+
+def _sddmm_fused_forward(x_src, x_dst, plan, interpret):
+    """ONE half-packed src gather (compact when the plan is windowed) +
+    dst-block dot kernel. Returns (E_pad,) f32 scores, zero at pads."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    R, ET, T, nb = plan.R, plan.ET, plan.T, plan.nblocks
+    N, F = x_src.shape
+    F2 = F // 2
+    if plan.tile_src is not None:
+        idx = jnp.asarray(plan.gsrc)
+        ts = jnp.asarray(plan.tile_src)
+    else:
+        idx = jnp.asarray(plan.src_pad)
+        ts = jnp.arange(T, dtype=jnp.int32)
+    g = jnp.take(pack_halves(x_src), idx, axis=0)
+    xd_full = _pad_dst(x_dst, plan)
+    local_row = jnp.asarray(plan.local_row.reshape(T, 1, ET))
+    kern = functools.partial(_sddmm_packed_kernel, R=R, ET=ET, F2=F2)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, ET), lambda t, tb, ts: (t, 0, 0)),
+            pl.BlockSpec((ET, F2), lambda t, tb, ts: (ts[t], 0)),
+            pl.BlockSpec((R, F), lambda t, tb, ts: (tb[t], 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, ET), lambda t, tb, ts: (t, 0, 0)),
+    )
+    s = pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, 1, ET), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * R * ET * F * T,
+            bytes_accessed=T * ET * F2 * 4 + T * R * F * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(plan.tile_block), ts, local_row, g, xd_full)
+    return s.reshape(-1) * jnp.asarray(plan.valid)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _sddmm_fused(x_src, x_dst, plan, interpret):
+    return _sddmm_fused_forward(x_src, x_dst, plan, interpret)
+
+
+def _sddmm_fused_fwd(x_src, x_dst, plan, interpret):
+    return _sddmm_fused(x_src, x_dst, plan, interpret), (x_src, x_dst)
+
+
+def _sddmm_fused_bwd(plan, interpret, res, g):
+    # Both grads are weighted SpMMs with the score cotangent as the edge
+    # weight -- they ride the packed/window kernels, no per-edge message
+    # tensor ever materializes:
+    #   d x_dst[r] = sum_{e: dst=r} g_e x_src[src_e]   (forward plan)
+    #   d x_src[s] = sum_{e: src=s} g_e x_dst[dst_e]   (swap plan)
+    x_src, x_dst = res
+    gv = (g * jnp.asarray(plan.valid)).astype(jnp.float32)
+    dxd = _spmm_gather_reduce(x_src, gv.astype(x_src.dtype), plan,
+                              interpret)[:x_dst.shape[0]].astype(
+        x_dst.dtype)
+    tp, lane_map = _swap_plan(plan, x_src.shape[0])
+    gv_ext = jnp.concatenate([gv, jnp.zeros(1, gv.dtype)])
+    w_t = jnp.take(gv_ext, jnp.asarray(
+        np.minimum(lane_map, plan.E_pad))).astype(x_dst.dtype)
+    dxs = _spmm_gather_reduce(x_dst, w_t, tp,
+                              interpret)[:x_src.shape[0]].astype(
+        x_src.dtype)
+    return dxs, dxd
+
+
+_sddmm_fused.defvjp(_sddmm_fused_fwd, _sddmm_fused_bwd)
+
+
 def sddmm_csr(x_src, x_dst, plan, interpret=False, msg=None):
     """Per-edge dots scores[e] = <x_src[src_e], x_dst[dst_e]> in padded
     plan order, with ONE gather (src side; the dst side streams as dense
     R-row blocks on the MXU). Returns (E_pad,) f32, zero at pad lanes.
 
-    Pass ``msg`` (E_pad, F) to reuse an existing plan-order src gather
-    (attention convs gather features for aggregation anyway — the score
-    then costs no gather at all). Differentiable in all tensor args.
+    bf16 features with F % 256 == 0 ride the half-packed gather (compact
+    when the plan is windowed) with a weighted-SpMM backward on both
+    sides. Pass ``msg`` (E_pad, F) to reuse an existing plan-order src
+    gather (attention convs gather features for aggregation anyway — the
+    score then costs no gather at all). Differentiable in all tensor
+    args.
     """
     if msg is None:
+        if (_packed_eligible(x_src, None) and x_dst.dtype == x_src.dtype
+                and x_src.shape[1] == x_dst.shape[1]):
+            return _sddmm_fused(x_src, x_dst, plan, interpret)
         msg = gather_rows(x_src, plan, "src")
     return _sddmm_inner(msg, x_dst, plan, interpret)
 
@@ -274,7 +372,7 @@ def expand_dst_csr(x_dst, plan, interpret=False):
     interpret = interpret or jax.default_backend() != "tpu"
     R, ET, T, nb = plan.R, plan.ET, plan.T, plan.nblocks
     F = x_dst.shape[1]
-    F_pad = _cdiv(F, 128) * 128
+    F_pad = _lane_pad(F)
     xd = _pad_dst(x_dst, plan)
     if F_pad != F:
         xd = jnp.pad(xd, ((0, 0), (0, F_pad - F)))

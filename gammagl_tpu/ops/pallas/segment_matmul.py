@@ -219,7 +219,9 @@ def _build_window_plan(src_s, dst_s, order, block_edges, nblocks,
     row_global = (np.repeat(tile_block, ET).astype(np.int64) * R
                   + local_row).astype(np.int32)
 
-    G = int(max(endw.max() if nblocks else 1, 1)) * ET
+    # cover every window any tile reads (a trailing EMPTY block's forced
+    # tile can point one window past ceil(E/ET) when ET divides E)
+    G = (int(tile_src.max()) + 1 if T else 1) * ET
     gsrc = np.zeros(G, dtype=np.int32)
     gsrc[:E] = src_s
     return CSRPlan(

@@ -47,7 +47,7 @@ def epoch_args(trainer):
     return []
 
 
-def run_one(d, timeout, force_cpu):
+def run_one(d, timeout, force_cpu, real_shapes=False):
     trainer = find_trainer(d)
     if trainer is None:
         return d, "SKIP (no trainer)", 0.0
@@ -55,6 +55,10 @@ def run_one(d, timeout, force_cpu):
     env = dict(os.environ)
     # never let a blackholing resolver stall a trainer mid-smoke
     env.setdefault("GGL_TPU_OFFLINE", "1")
+    if real_shapes:
+        # synthetic fallbacks pad to true dataset dims (examples/common
+        # _REAL_DIMS) so shape-dependent compile bugs surface everywhere
+        env["GGL_REAL_SHAPES"] = "1"
     if force_cpu:
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                             + " --xla_force_host_platform_device_count=8")
@@ -91,6 +95,10 @@ def main():
                     help=">1 requires --cpu (the TPU is single-tenant)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (8 virtual devices)")
+    ap.add_argument("--real-shapes", action="store_true",
+                    help="pad synthetic fallbacks to true dataset dims "
+                         "(Cora 1433, Reddit 602, arxiv 128) so "
+                         "shape-dependent compile bugs surface")
     ap.add_argument("--json", default=None,
                     help="write per-example {status, seconds} to this "
                          "JSON file (the SMOKE_r* driver artifact)")
@@ -104,7 +112,8 @@ def main():
     results = []
     if args.jobs > 1:
         with cf.ThreadPoolExecutor(args.jobs) as pool:
-            futs = [pool.submit(run_one, d, args.timeout, args.cpu)
+            futs = [pool.submit(run_one, d, args.timeout, args.cpu,
+                                args.real_shapes)
                     for d in dirs]
             for f in cf.as_completed(futs):
                 d, status, dt = f.result()
@@ -112,7 +121,8 @@ def main():
                 results.append((d, status, dt))
     else:
         for d in dirs:
-            d, status, dt = run_one(d, args.timeout, args.cpu)
+            d, status, dt = run_one(d, args.timeout, args.cpu,
+                                    args.real_shapes)
             print(f"{d:24s} {status:40s} {dt:6.1f}s", flush=True)
             results.append((d, status, dt))
     bad = [r for r in results if not r[1].startswith(("OK", "SKIP"))]
@@ -121,6 +131,7 @@ def main():
         import jax
         payload = {
             "backend": "cpu" if args.cpu else jax.default_backend(),
+            "real_shapes": bool(args.real_shapes),
             "timeout_s": args.timeout,
             "passed": len(results) - len(bad),
             "total": len(results),
