@@ -36,6 +36,7 @@ from gammagl_tpu.parallel.full_graph import (pad_nodes, unpad_nodes,
                                              shard_nodes,
                                              sign_precompute,
                                              make_partitioned_gcn_train,
+                                             make_partitioned_gcn_train_staged,
                                              make_partitioned_gat_train,
                                              estimate_hbm_gb)
 
@@ -80,6 +81,7 @@ __all__ = [
     "shard_nodes",
     "sign_precompute",
     "make_partitioned_gcn_train",
+    "make_partitioned_gcn_train_staged",
     "make_partitioned_gat_train",
     "estimate_hbm_gb",
     "HwModel",

@@ -48,8 +48,9 @@ from gammagl_tpu.parallel.hier_halo import (HierHaloPartition,
                                             make_hier_halo_spmm)
 
 __all__ = ["pad_nodes", "unpad_nodes", "shard_nodes", "sign_precompute",
-           "make_partitioned_gcn_train", "make_partitioned_gat_train",
-           "estimate_hbm_gb"]
+           "make_partitioned_gcn_train",
+           "make_partitioned_gcn_train_staged",
+           "make_partitioned_gat_train", "estimate_hbm_gb"]
 
 
 def _make_spmm(mesh, part, axis, as_args=False):
@@ -145,6 +146,69 @@ def _glorot(rng, fan_in, fan_out):
     return jnp.asarray(rng.uniform(-s, s, (fan_in, fan_out)), jnp.float32)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _masked_ce_chunked(logits, y, m, CH=131_072):
+    """Mean masked softmax cross-entropy with the f32 math confined to
+    CH-row chunks (fori_loop + dynamic slices -- no scan residual
+    stacking). Materializing full f32 logits at papers100M shard scale
+    costs 2.33 GB, exactly the OOM margin of the 3.55M-node shard on a
+    16 GB v5e; the naive lax.scan chunking is WORSE (autodiff stacks
+    per-chunk softmax residuals back to full size, measured +2 GB).
+    The custom backward recomputes softmax per chunk from the saved
+    compute-dtype logits: dl = (softmax - onehot) * m * g / msum."""
+    n, C = logits.shape
+    nch = -(-n // CH)
+
+    def body(i, tot):
+        lg = jax.lax.dynamic_slice(
+            logits, (i * CH, 0), (CH, C)).astype(jnp.float32)
+        yy = jax.lax.dynamic_slice(y, (i * CH,), (CH,))
+        mm = jax.lax.dynamic_slice(m, (i * CH,), (CH,))
+        ls = optax.softmax_cross_entropy_with_integer_labels(lg, yy)
+        return tot + (ls * mm).sum()
+
+    pad = nch * CH - n
+    if pad:
+        logits = jnp.pad(logits, ((0, pad), (0, 0)))
+        y = jnp.pad(y, (0, pad))
+        m = jnp.pad(m, (0, pad))
+    tot = jax.lax.fori_loop(0, nch, body, jnp.zeros((), jnp.float32))
+    return tot / jnp.maximum(m.sum(), 1.0)
+
+
+def _masked_ce_fwd(logits, y, m, CH):
+    return _masked_ce_chunked(logits, y, m, CH), (logits, y, m)
+
+
+def _masked_ce_bwd(CH, res, g):
+    logits, y, m = res
+    n, C = logits.shape
+    nch = -(-n // CH)
+    pad = nch * CH - n
+    lg_p = jnp.pad(logits, ((0, pad), (0, 0))) if pad else logits
+    y_p = jnp.pad(y, (0, pad)) if pad else y
+    m_p = jnp.pad(m, (0, pad)) if pad else m
+    scale = g / jnp.maximum(m.sum(), 1.0)
+
+    def body(i, dl):
+        lg = jax.lax.dynamic_slice(
+            lg_p, (i * CH, 0), (CH, C)).astype(jnp.float32)
+        yy = jax.lax.dynamic_slice(y_p, (i * CH,), (CH,))
+        mm = jax.lax.dynamic_slice(m_p, (i * CH,), (CH,))
+        p = jax.nn.softmax(lg, axis=-1)
+        oh = jax.nn.one_hot(yy, C, dtype=jnp.float32)
+        d = (p - oh) * (mm * scale)[:, None]
+        return jax.lax.dynamic_update_slice(
+            dl, d.astype(dl.dtype), (i * CH, 0))
+
+    dl = jax.lax.fori_loop(
+        0, nch, body, jnp.zeros((nch * CH, C), logits.dtype))[:n]
+    return dl, None, jnp.zeros_like(m)
+
+
+_masked_ce_chunked.defvjp(_masked_ce_fwd, _masked_ce_bwd)
+
+
 def make_partitioned_gcn_train(mesh, part, feat_dim,
                                hidden_dim, num_classes, num_layers=2,
                                compute_dtype=jnp.bfloat16, remat=True,
@@ -186,18 +250,25 @@ def make_partitioned_gcn_train(mesh, part, feat_dim,
     if remat:
         layer = jax.checkpoint(layer, static_argnums=(1,))
 
+    single_dev = int(np.prod(mesh.devices.shape)) == 1
+
     def forward(p, x, cd):
         h = x.astype(compute_dtype)
         for i in range(num_layers):
             h = layer(p, i, h, cd)
             if i < num_layers - 1:
                 h = jax.nn.relu(h)
+        if single_dev:
+            return h       # stay compute_dtype; the loss casts per chunk
         return h.astype(jnp.float32)  # logits f32 for the loss
 
     def loss_fn(p, x, y, mask, cd):
         logits = forward(p, x, cd)
-        ls = optax.softmax_cross_entropy_with_integer_labels(logits, y)
         m = mask.astype(jnp.float32)
+        if single_dev and logits.shape[0] > 262_144:
+            return _masked_ce_chunked(logits, y, m)
+        ls = optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), y)
         return (ls * m).sum() / jnp.maximum(m.sum(), 1.0)
 
     # the plan buffers (spmm_consts) cross the jit boundary as ARGUMENTS;
@@ -215,6 +286,146 @@ def make_partitioned_gcn_train(mesh, part, feat_dim,
 
     def eval_logits(p, x):
         return _eval(p, x, spmm_consts)
+
+    return params, opt_state, train_step, eval_logits
+
+
+def make_partitioned_gcn_train_staged(mesh, part, feat_dim, hidden_dim,
+                                      num_classes, num_layers=3,
+                                      compute_dtype=jnp.bfloat16,
+                                      learning_rate=1e-2,
+                                      weight_decay=0.0, seed=0,
+                                      axis="dp"):
+    """Layer-STAGED variant of `make_partitioned_gcn_train` for shards
+    beyond single-jit memory.
+
+    The monolithic train step holds every layer's activations, their
+    cotangents, and the SpMM working set in ONE XLA buffer-assignment
+    problem — at the 3.55M-node papers100M shard that peaks at 16.5 GB
+    on a 16 GB v5e even with per-layer remat (measured, round 4). Here
+    forward and backward run as SEPARATE jits per layer with the layer
+    inputs as the only cross-jit residuals, so the compiler's peak is
+    one layer's working set:
+
+        fwd_i : h_i -> h_{i+1}                       (spmm + matmul)
+        head  : logits, y, m -> loss, dlogits        (chunked f32 CE)
+        bwd_i : h_i, h_{i+1}, dh_{i+1} -> dh_i, dW_i, db_i
+                (recomputes a_i = spmm(h_i); dh_i rides the planned
+                 tier's kernel-backed transpose VJP)
+
+    The host loop costs ~2L jit dispatches per epoch (~ms each through
+    the tunnel — negligible against multi-second epochs). Same
+    signature/return convention as the monolithic builder.
+    """
+    from gammagl_tpu.parallel.halo_plan import (
+        make_halo_spmm_planned_pair)
+    pair = (isinstance(part, PlannedHaloPartition)
+            and part.transpose is not None)
+    if pair:
+        # separate raw appliers: the transpose SpMM runs in its OWN jit
+        # (differentiating the fused spmm would co-locate the forward
+        # recompute -- the round-4 bwd_layer compiled to 16.15 G)
+        spmm, spmm_t, spmm_consts = make_halo_spmm_planned_pair(
+            mesh, part, axis)
+    else:
+        spmm, spmm_consts = _make_spmm(mesh, part, axis, as_args=True)
+    rng = np.random.default_rng(seed)
+    dims = [feat_dim] + [hidden_dim] * (num_layers - 1) + [num_classes]
+    params = {f"w{i}": _glorot(rng, dims[i], dims[i + 1])
+              for i in range(num_layers)}
+    params.update({f"b{i}": jnp.zeros(dims[i + 1], jnp.float32)
+                   for i in range(num_layers)})
+    params = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P())), params)
+    opt = optax.adamw(learning_rate, weight_decay=weight_decay)
+    opt_state = jax.device_put(opt.init(params),
+                               NamedSharding(mesh, P()))
+    cd = compute_dtype
+
+    @partial(jax.jit, static_argnums=(3,))
+    def fwd_layer(w, b, h, relu, consts):
+        a = spmm(h.astype(cd), consts).astype(cd)
+        out = a @ w.astype(cd) + b.astype(cd)
+        return jax.nn.relu(out) if relu else out
+
+    single_dev = int(np.prod(mesh.devices.shape)) == 1
+
+    # donations keep the live set down: logits die into the head (the
+    # last layer's backward never reads h_out -- relu=False), and each
+    # backward consumes the activation/cotangent it retires
+    @partial(jax.jit, donate_argnums=(0,))
+    def head(logits, y, mask):
+        m = mask.astype(jnp.float32)
+        if single_dev and logits.shape[0] > 262_144:
+            fn = lambda lg: _masked_ce_chunked(lg, y, m)  # noqa: E731
+        else:
+            def fn(lg):
+                ls = optax.softmax_cross_entropy_with_integer_labels(
+                    lg.astype(jnp.float32), y)
+                return (ls * m).sum() / jnp.maximum(m.sum(), 1.0)
+        loss, dl = jax.value_and_grad(fn)(logits)
+        return loss, dl
+
+    @partial(jax.jit, static_argnums=(5,), donate_argnums=(2, 3))
+    def bwd_matmul(w, h_in, h_out, dh_out, consts, relu):
+        """Recompute a_i = spmm(h_i); emit (dw, db, da) -- the dh_in
+        transpose SpMM runs in its own jit (see bwd_spmm_t)."""
+        dh = dh_out
+        if relu:
+            dh = dh * (h_out > 0).astype(dh.dtype)
+        a = spmm(h_in.astype(cd), consts).astype(cd)
+        # f32 param grads from bf16 operands (accumulation in f32)
+        dw = jax.lax.dot_general(
+            a, dh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        db = jnp.sum(dh.astype(jnp.float32), axis=0)
+        da = (dh @ w.astype(cd).T).astype(cd)
+        return da, dw, db
+
+    if pair:
+        @partial(jax.jit, donate_argnums=(0,))
+        def bwd_spmm_t(da, consts):
+            return spmm_t(da, consts).astype(cd)
+    else:
+        @partial(jax.jit, donate_argnums=(0,))
+        def bwd_spmm_t(da, consts):
+            # fallback tiers: transpose via vjp (forward recompute on a
+            # ZERO operand keeps the extra pass trivial for linear spmm)
+            _, vjp_fn = jax.vjp(
+                lambda hh: spmm(hh, consts), jnp.zeros_like(da))
+            return vjp_fn(da)[0].astype(cd)
+
+    @jax.jit
+    def apply_grads(p, opt_state, grads):
+        updates, opt_state = opt.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state
+
+    def train_step(p, opt_state, x, y, mask):
+        hs = [x]
+        for i in range(num_layers):
+            hs.append(fwd_layer(p[f"w{i}"], p[f"b{i}"], hs[-1],
+                                i < num_layers - 1, spmm_consts))
+        loss, dh = head(hs[-1], y, mask)
+        # the head donated the logits; the last layer's backward ignores
+        # h_out entirely (relu=False), so hand it an empty pytree
+        hs[num_layers] = None
+        grads = {}
+        for i in reversed(range(num_layers)):
+            da, dw, db = bwd_matmul(p[f"w{i}"], hs[i], hs[i + 1], dh,
+                                    spmm_consts, i < num_layers - 1)
+            grads[f"w{i}"] = dw
+            grads[f"b{i}"] = db
+            hs[i + 1] = None    # free the activation as soon as possible
+            dh = bwd_spmm_t(da, spmm_consts) if i else None
+        p, opt_state = apply_grads(p, opt_state, grads)
+        return p, opt_state, loss
+
+    def eval_logits(p, x):
+        h = x
+        for i in range(num_layers):
+            h = fwd_layer(p[f"w{i}"], p[f"b{i}"], h,
+                          i < num_layers - 1, spmm_consts)
+        return h
 
     return params, opt_state, train_step, eval_logits
 

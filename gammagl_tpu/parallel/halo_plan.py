@@ -41,16 +41,16 @@ from gammagl_tpu.parallel.halo import _balanced_relabel, _halo_sets
 from gammagl_tpu.parallel.hier_halo import (HierHaloPartition,
                                             build_hier_halo_partition)
 
-# Packed gather in the HALO tiers is opt-in (GGL_PACKED_HALO=1):
-# measured A/B at papers100M mid-shard scale (1.33M nodes / 20.7M edges,
-# 8 src blocks, 3-layer GCN): packed 2584 ms/epoch vs unpacked 1646 —
-# the src-blocked regime already keeps each gather in the fast-footprint
-# band, so halving lane groups gains little while the per-block
-# [evens|odds] un-interleave transposes of the FULL (rows, F) output
-# cost plenty. The single-array spmm_csr packed path (bench headline)
-# is unaffected and stays on (+23% measured).
+# Packed gather in the HALO tiers is ON by default (GGL_PACKED_HALO=0
+# opts out). History: the round-3 A/B measured packed LOSING (2584 vs
+# 1646 ms/epoch at papers100M mid-shard scale) — but that measurement
+# was dominated by the adjacent-pair pack's XLA relayout and the
+# [evens|odds] un-interleave epilogue, BOTH eliminated by the round-4
+# `pack_halves` convention (same-shape elementwise pack, natural-order
+# output). Re-measured round 4 at the 3.61M-node shard (52.5M edges,
+# 3-layer GCN, staged): packed 6198 ms/epoch vs 7121 unpacked (+15%).
 import os as _os
-_PACKED_HALO = _os.environ.get("GGL_PACKED_HALO", "0") == "1"
+_PACKED_HALO = _os.environ.get("GGL_PACKED_HALO", "1") == "1"
 
 
 __all__ = ["PlannedHaloPartition", "build_halo_partition_planned",
@@ -417,6 +417,40 @@ def make_halo_spmm_planned(mesh: Mesh, part: PlannedHaloPartition,
 
     spmm.defvjp(_fwd, _bwd)
     return spmm
+
+
+def make_halo_spmm_planned_pair(mesh: Mesh, part: PlannedHaloPartition,
+                                axis: str = "dp", kernel: bool = True,
+                                interpret: bool = False):
+    """(spmm, spmm_t, consts): BOTH directions of the planned halo SpMM
+    as separate raw callables over device-resident plan arguments.
+
+    For layer-staged training loops that run dx = A^T g in its own jit:
+    differentiating the custom-vjp `make_halo_spmm_planned` spmm under
+    `jax.vjp` places the forward recompute AND the transpose pass in one
+    program -- at papers100M shard scale that one jit's working set is
+    the difference between fitting a 16 GB chip and not (round 4:
+    jit(bwd_layer) compiled to 16.15 G). Call `spmm(x, consts)` /
+    `spmm_t(g, consts)`; neither is differentiable (the staged loop owns
+    the chain rule).
+    """
+    if part.transpose is None:
+        raise ValueError("make_halo_spmm_planned_pair needs a partition "
+                         "built with with_transpose=True")
+    fn, consts = _planned_spmm_callable(mesh, part, axis, kernel,
+                                        interpret, allow_packed=True)
+    fn_t, consts_t = _planned_spmm_callable(
+        mesh, part.transpose._replace(transpose=None), axis, kernel,
+        interpret, allow_packed=True)
+
+    def put(cs):
+        return tuple(jax.device_put(
+            jnp.asarray(c), NamedSharding(mesh, P(axis)))
+            for c in cs)
+
+    consts_dev = {"fwd": put(consts), "bwd": put(consts_t)}
+    return ((lambda x, cd: fn(x, *cd["fwd"])),
+            (lambda g, cd: fn_t(g, *cd["bwd"])), consts_dev)
 
 
 def _zero_cotangents(tree):

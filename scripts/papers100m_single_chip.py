@@ -36,9 +36,7 @@ def solve_scale(hbm_gb, feat_dim, hidden, layers):
     """Largest synthetic scale whose 1-chip estimate fits `hbm_gb`.
 
     estimate_hbm_gb is linear in num_nodes at fixed degree, so one
-    evaluation calibrates the slope; features are stored f32 on device
-    (shard_nodes default in the trainer), so add the f32-vs-bf16 feature
-    delta on top of the estimator's compute-dtype accounting.
+    evaluation calibrates the slope (features reside bf16 on device).
     """
     import jax.numpy as jnp
     from gammagl_tpu.parallel import estimate_hbm_gb
@@ -46,7 +44,6 @@ def solve_scale(hbm_gb, feat_dim, hidden, layers):
     probe_n = 1_000_000
     gb = estimate_hbm_gb(probe_n, feat_dim, hidden, layers, 1, AVG_DEG,
                          jnp.bfloat16, True)
-    gb += probe_n * feat_dim * 2 / 1e9  # f32 feature residency
     n = int(probe_n * hbm_gb / float(gb))
     return n / PAPERS_N
 
@@ -70,6 +67,12 @@ def main():
                     "the many src-block plans")
     ap.add_argument("--xla-spmm", action="store_true",
                     help="flat XLA tier instead of planned Pallas")
+    ap.add_argument("--src-blocks", type=int, default=None,
+                    help="override auto_src_blocks (gather slice count)")
+    ap.add_argument("--monolithic", action="store_true",
+                    help="single-jit train step (the staged per-layer "
+                    "default fits ~1.5x larger shards; see "
+                    "make_partitioned_gcn_train_staged)")
     args = ap.parse_args()
 
     import jax
@@ -90,7 +93,7 @@ def main():
     ei, x, y, train, val, c = synthetic_papers(scale)
     n, f = x.shape
     est = estimate_hbm_gb(n, f, args.hidden, args.layers, 1, AVG_DEG,
-                          jnp.bfloat16, True) + n * f * 2 / 1e9
+                          jnp.bfloat16, True)
     print(f"shard: scale {scale:.5f} -> {n:,} nodes, {ei.shape[1]:,} "
           f"edges; est {est:.2f} GB on "
           f"{jax.devices()[0].device_kind} "
@@ -103,7 +106,8 @@ def main():
     mesh = make_mesh(axis_names=("dp",))
     planned = not args.xla_spmm and jax.default_backend() == "tpu"
     if planned:
-        nsb = auto_src_blocks(n, max(f, args.hidden), jnp.bfloat16)
+        nsb = args.src_blocks or auto_src_blocks(
+            n, max(f, args.hidden), jnp.bfloat16)
         part = build_halo_partition_planned(ei, n, 1, w, R=args.R,
                                             num_src_blocks=nsb)
     else:
@@ -112,7 +116,12 @@ def main():
           f"{time.perf_counter() - t0:.1f}s", flush=True)
 
     t0 = time.perf_counter()
-    xs = shard_nodes(x, mesh, part, dtype=np.float32)
+    # bf16 feature residency: the trainer consumes features in
+    # compute_dtype anyway, real papers100M ships fp16 features, and f32
+    # residency cost ~0.9 GB + f32-wide gather temps -- the difference
+    # between OOM and fitting at scale 0.032 (17.41G > 15.75G HBM)
+    import jax.numpy as _jnp
+    xs = shard_nodes(x, mesh, part, dtype=_jnp.bfloat16)
     ys = shard_nodes(y, mesh, part)
     ms = shard_nodes(train.astype(np.float32), mesh, part)
     jax.block_until_ready((xs, ys, ms))
@@ -121,9 +130,16 @@ def main():
     print(f"transfer: {gb:.2f} GB in {dt:.1f}s "
           f"({gb / dt * 1e3:.0f} MB/s)", flush=True)
     del x
-    params, opt_state, step, eval_logits = make_partitioned_gcn_train(
-        mesh, part, f, args.hidden, c, num_layers=args.layers,
-        compute_dtype=jnp.bfloat16, remat=True, learning_rate=1e-2)
+    if args.monolithic:
+        params, opt_state, step, eval_logits = make_partitioned_gcn_train(
+            mesh, part, f, args.hidden, c, num_layers=args.layers,
+            compute_dtype=jnp.bfloat16, remat=True, learning_rate=1e-2)
+    else:
+        from gammagl_tpu.parallel import make_partitioned_gcn_train_staged
+        params, opt_state, step, eval_logits = \
+            make_partitioned_gcn_train_staged(
+                mesh, part, f, args.hidden, c, num_layers=args.layers,
+                compute_dtype=jnp.bfloat16, learning_rate=1e-2)
     times = []
     for epoch in range(args.epochs):
         t = time.perf_counter()
