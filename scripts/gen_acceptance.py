@@ -67,6 +67,18 @@ def _smoke_status():
     return best, best_n
 
 
+# Reference tables whose metric protocol is outside the
+# node-classification parity harness (they still smoke-run and converge
+# on synthetic data; their acceptance bar is the metric their own
+# trainer prints):
+_PROTOCOL_MISMATCH = {
+    "amp": "graph-regression MAE on Diameter/SSSP/Ecc/ZINC; "
+           "amp_trainer prints the task metric",
+    "defog": "generation metrics (validity/uniqueness/FCD); "
+             "defog_trainer prints sampling metrics",
+}
+
+
 def main():
     from scripts.accuracy_parity import TARGETS
     parity_models = {m for m, _ in TARGETS}
@@ -88,6 +100,10 @@ def main():
         elif d in parity_models:
             status = "parity-wired (blocked-offline: real data needed)"
             counts["parity-wired"] += 1
+        elif d in _PROTOCOL_MISMATCH:
+            status = ("table-present; protocol-mismatch ("
+                      + _PROTOCOL_MISMATCH[d] + ")")
+            counts["table-no-harness"] += 1
         elif table:
             status = "table-present; harness-pending (blocked-offline)"
             counts["table-no-harness"] += 1
