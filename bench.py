@@ -161,26 +161,30 @@ def bench_hgt(dtype=jnp.bfloat16, H=4, D=64):
     q.k relation dot (arbitrary-score flash kernel, slope=1); the VERDICT
     round-3 ask was a hetero number on the board so hetero-path
     regressions are visible."""
-    from gammagl_tpu.ops.pallas import (build_csr_plan,
+    from gammagl_tpu.ops.pallas import (build_csr_plan, expand_dst_csr,
                                         flash_softmax_spmm,
-                                        plan_gather_dst, plan_gather_src)
+                                        plan_gather_src_compact)
 
     N_src, N_dst, E = 200_000, 100_000, 2_000_000
     rng = np.random.default_rng(3)
     src = rng.integers(0, N_src, E)
     dst = (N_dst * (rng.random(E) ** 1.3)).astype(np.int64)
-    plan = build_csr_plan(src, dst, N_dst, num_src=N_src, R=128, ET=512)
+    plan = build_csr_plan(src, dst, N_dst, num_src=N_src, R=128, ET=512,
+                          window=True)
     k0 = jnp.asarray(rng.normal(size=(N_src, H, D)), dtype)
     v0 = jnp.asarray(rng.normal(size=(N_src, H, D)), dtype)
     q0 = jnp.asarray(rng.normal(size=(N_dst, H, D)), dtype)
     pri = jnp.ones((H,), jnp.float32)
 
     def fused(k, v, q):
+        # mirrors HGTConv's plan path: ONE compact src gather for k|v,
+        # dst-side q expanded from dense blocks on the MXU (no second
+        # gather-engine pass)
         packed = jnp.concatenate(
             [k.reshape(-1, H * D), v.reshape(-1, H * D)], axis=1)
-        g = plan_gather_src(packed, plan)
-        q_e = plan_gather_dst(q.reshape(-1, H * D), plan
-                              ).reshape(-1, H, D)
+        g = plan_gather_src_compact(packed, plan)
+        q_e = expand_dst_csr(q.reshape(-1, H * D), plan, False, True
+                             ).reshape(-1, H, D)
         k_e = g[:, :H * D].reshape(-1, H, D)
         score = (q_e.astype(jnp.float32) * k_e.astype(jnp.float32)
                  ).sum(-1) * pri / (D ** 0.5)

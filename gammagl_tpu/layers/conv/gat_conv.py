@@ -160,12 +160,21 @@ class GATV2Conv(MessagePassing):
             # fuses via keep_pad.
             from gammagl_tpu.ops.pallas import (expand_dst_csr,
                                                 flash_softmax_spmm_mh,
-                                                plan_gather_src)
-            g_l = plan_gather_src(x_l.reshape(-1, H * F), plan)
+                                                plan_gather_src,
+                                                plan_gather_src_compact)
+            compact = getattr(plan, "tile_src", None) is not None
+            if compact:
+                # window plan: src gather COMPACT (E rows, no padding)
+                # and the dst expand emits matching compact order
+                g_l = plan_gather_src_compact(x_l.reshape(-1, H * F),
+                                              plan)
+            else:
+                g_l = plan_gather_src(x_l.reshape(-1, H * F), plan)
             # dst side expands from dense (R, F) blocks on the MXU —
             # no second trip through the gather engine (~5x at arxiv
             # scale; see ops/pallas/sddmm_csr.py:expand_dst_csr)
-            g_r = expand_dst_csr(x_r.reshape(-1, H * F), plan)
+            g_r = expand_dst_csr(x_r.reshape(-1, H * F), plan, False,
+                                 compact)
             feat = nn.leaky_relu(
                 (g_l + g_r).reshape(-1, H, F), self.negative_slope)
             e = jnp.einsum("ehf,hf->eh", feat, att[0])

@@ -174,17 +174,26 @@ class HGTConv(nn.Module):
             plan = plan_dict.get(et) if plan_dict else None
             if plan is not None:
                 # fused per-relation path: k/v ride ONE plan-order source
-                # gather; the relation score feeds the arbitrary-score
-                # flash kernel (softmax + aggregate in one pass per head),
-                # dropout fused via keep_pad.
-                from gammagl_tpu.ops.pallas import (flash_softmax_spmm,
-                                                    plan_gather_dst,
-                                                    plan_gather_src)
+                # gather (COMPACT on window plans); the dst-side q
+                # expands from dense (R, F) blocks on the MXU instead of
+                # a second trip through the gather engine; the relation
+                # score feeds the arbitrary-score flash kernel (softmax
+                # + aggregate in one pass per head), dropout fused via
+                # keep_pad.
+                from gammagl_tpu.ops.pallas import (expand_dst_csr,
+                                                    flash_softmax_spmm,
+                                                    plan_gather_src,
+                                                    plan_gather_src_compact)
+                compact = getattr(plan, "tile_src", None) is not None
                 packed = jnp.concatenate(
                     [k.reshape(-1, H * D), v.reshape(-1, H * D)], axis=1)
-                g = plan_gather_src(packed, plan)
-                q_e = plan_gather_dst(q_dict[dst_t].reshape(-1, H * D),
-                                      plan).reshape(-1, H, D)
+                if compact:
+                    g = plan_gather_src_compact(packed, plan)
+                else:
+                    g = plan_gather_src(packed, plan)
+                q_e = expand_dst_csr(
+                    q_dict[dst_t].reshape(-1, H * D), plan, False,
+                    compact).reshape(-1, H, D)
                 k_e = g[:, :H * D].reshape(-1, H, D)
                 score = ((q_e * k_e).sum(-1) * rel_pri / (D ** 0.5))
                 keep = None

@@ -356,9 +356,35 @@ def _expand_kernel(tb_ref, lr_ref, xd_ref, out_ref, *, R, ET, f32):
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def expand_dst_csr(x_dst, plan, interpret=False):
-    """x_dst[row(e)] in padded plan order WITHOUT the gather engine.
+def _expand_kernel_win(tb_ref, ts_ref, wf_ref, lr_ref, xd_ref, out_ref,
+                       *, R, ET, f32):
+    """Compact-output expand: shared boundary windows accumulate via the
+    first-visit flag (each edge is valid in exactly one tile; garbage
+    lanes contribute exact zeros through the one-hot). The edge-tile
+    axis is INNERMOST so window revisits are consecutive grid steps."""
+    t = pl.program_id(1)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0) == lr_ref[0])
+    oh = jnp.where(sel, 1.0, 0.0)
+    if f32:
+        out = _dot3(oh, xd_ref[:], ((0,), (0,)), True)
+    else:
+        out = jax.lax.dot_general(
+            oh.astype(jnp.bfloat16), xd_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out = out.astype(out_ref.dtype)
+
+    @pl.when(wf_ref[t] == 1)
+    def _():
+        out_ref[:] = out
+
+    @pl.when(wf_ref[t] == 0)
+    def _():
+        out_ref[:] = out_ref[:] + out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def expand_dst_csr(x_dst, plan, interpret=False, compact=False):
+    """x_dst[row(e)] in plan order WITHOUT the gather engine.
 
     Edges are dst-sorted into R-row blocks, so each tile's destination
     rows live in ONE dense (R, F) block: the per-edge "gather" is an
@@ -368,6 +394,11 @@ def expand_dst_csr(x_dst, plan, interpret=False):
     blocks instead (~2 ms). Use for the dst side of edge features
     (GATv2 scores, edge MLPs); pad lanes come out 0. Differentiable
     (backward = the sorted segment-matmul reduce).
+
+    ``compact=True`` (window plans) emits (gather_len, F) in COMPACT
+    gather order — alignable with `plan_gather_src_compact` outputs so
+    GATv2/HGT-style paths stay compact end to end (and their OWN src
+    gathers stay unpadded).
     """
     interpret = interpret or jax.default_backend() != "tpu"
     R, ET, T, nb = plan.R, plan.ET, plan.T, plan.nblocks
@@ -381,6 +412,39 @@ def expand_dst_csr(x_dst, plan, interpret=False):
         FT //= 2
     nf = F_pad // FT
     local_row = jnp.asarray(plan.local_row.reshape(T, 1, ET))
+    if compact:
+        assert plan.tile_src is not None, \
+            "expand_dst_csr(compact=True) needs a window plan"
+        from gammagl_tpu.ops.pallas.flash_attention import _lane_layout
+        ts_np, wf_np, Gt = _lane_layout(plan, plan.gather_len)
+        kern = functools.partial(_expand_kernel_win, R=R, ET=ET,
+                                 f32=x_dst.dtype == jnp.float32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nf, T),
+            in_specs=[
+                pl.BlockSpec((1, 1, ET),
+                             lambda f, t, tb, ts, wf: (t, 0, 0)),
+                pl.BlockSpec((R, FT),
+                             lambda f, t, tb, ts, wf: (tb[t], f)),
+            ],
+            out_specs=pl.BlockSpec((ET, FT),
+                                   lambda f, t, tb, ts, wf: (ts[t], f)),
+        )
+        out = pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((plan.gather_len, F_pad),
+                                           x_dst.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * R * ET * F_pad * T,
+                bytes_accessed=(plan.gather_len + T * R) * F_pad
+                * x_dst.dtype.itemsize,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(jnp.asarray(plan.tile_block), jnp.asarray(ts_np),
+          jnp.asarray(wf_np), local_row, xd)
+        return out[:, :F]
     kern = functools.partial(_expand_kernel, R=R, ET=ET,
                              f32=x_dst.dtype == jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -406,12 +470,18 @@ def expand_dst_csr(x_dst, plan, interpret=False):
     return out[:, :F]
 
 
-def _expand_fwd(x_dst, plan, interpret):
-    return expand_dst_csr(x_dst, plan, interpret), x_dst.shape[0]
+def _expand_fwd(x_dst, plan, interpret, compact=False):
+    return (expand_dst_csr(x_dst, plan, interpret, compact),
+            x_dst.shape[0])
 
 
-def _expand_bwd(plan, interpret, n_rows, g):
+def _expand_bwd(plan, interpret, compact, n_rows, g):
     # d x_dst[r] = sum_{e: row(e)=r} g[e]: the sorted segment reduce
+    # (window-read variant for compact cotangents)
+    if compact:
+        from gammagl_tpu.ops.pallas.segment_matmul import segment_sum_win
+        w = jnp.asarray(plan.valid).astype(jnp.float32)
+        return (segment_sum_win(g, w, plan, interpret)[:n_rows],)
     w = jnp.asarray(plan.valid).astype(g.dtype)
     return (_segment_matmul(g, w, plan, interpret)[:n_rows],)
 

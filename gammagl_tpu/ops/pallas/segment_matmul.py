@@ -837,6 +837,54 @@ def _spmm_win_forward(x, w_pad, plan, interpret):
     return out
 
 
+def segment_sum_win(v, w_pad, plan, interpret=False):
+    """Weighted segment reduce of COMPACT (window-order) per-edge rows.
+
+    v (gather_len, F) holds one row per dst-sorted edge (plus clamped
+    tail); each kernel tile reads its (ET, F) slab at the plan's window
+    index and reduces via the weighted one-hot (w_pad is lane-order,
+    zero at invalid lanes, so an edge shared between two tiles' windows
+    contributes exactly once). This is the scatter side of the compact
+    attention paths (expand_dst_csr(compact=True) backward and friends).
+    Returns (nblocks*R, F).
+    """
+    interpret = interpret or jax.default_backend() != "tpu"
+    assert plan.tile_src is not None, "segment_sum_win needs a window plan"
+    R, ET, T, nb = plan.R, plan.ET, plan.T, plan.nblocks
+    G, F = v.shape
+    assert G == plan.gather_len, (G, plan.gather_len)
+    FT = min(512, F)
+    while F % FT:
+        FT //= 2
+    nf = F // FT
+    f32 = v.dtype == jnp.float32
+    kern = partial(_plain_win_kernel, R=R, ET=ET, f32=f32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nf, T),
+        in_specs=[
+            pl.BlockSpec((1, 1, ET), lambda f, t, tb, tf, ts: (t, 0, 0)),
+            pl.BlockSpec((1, 1, ET), lambda f, t, tb, tf, ts: (t, 0, 0)),
+            pl.BlockSpec((ET, FT), lambda f, t, tb, tf, ts: (ts[t], f)),
+        ],
+        out_specs=pl.BlockSpec((R, FT),
+                               lambda f, t, tb, tf, ts: (tb[t], f)),
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * R, F), v.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * R * ET * F * T,
+            bytes_accessed=(T * ET + nb * R) * F * v.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(plan.tile_block), jnp.asarray(plan.tile_first),
+      jnp.asarray(plan.tile_src),
+      jnp.asarray(plan.local_row.reshape(T, 1, ET)),
+      w_pad.astype(jnp.float32).reshape(T, 1, ET), v)
+
+
 def segment_matmul_dyn_packed(g_packed, w2d, local_row, tile_block,
                               tile_first, *, R, ET, nblocks,
                               interpret=False):
