@@ -47,7 +47,11 @@ def _load_node_dataset_uncached(name, path="data"):
             ds = Planetoid(root=path, name=name)
             return ds[0], ds.num_classes
         except Exception as e:
-            print(f"[warn] {name} unavailable ({e}); using synthetic graph")
+            print(f"[warn] {name} unavailable ({e}); trying "
+                  "real-structure fallback")
+        g = _load_real_structure(name)
+        if g is not None:
+            return g, int(np.asarray(g.y).max()) + 1
     from gammagl_tpu.datasets import synthetic_community_graph
     n, c, f = 1000, 7, 128
     if os.environ.get("GGL_REAL_SHAPES"):
@@ -58,6 +62,62 @@ def _load_node_dataset_uncached(name, path="data"):
         n, f, c = _REAL_DIMS.get(name, (n, f, c))
     g = synthetic_community_graph(n, c, f, avg_degree=8, seed=0)
     return g, c
+
+
+# REAL Planetoid adjacencies the reference ships in-tree (true topology:
+# cora nnz 13264 = 2*5278 + 2708 self-loops; pubmed 108365 = 2*44324 +
+# 19717 — exact matches to the published graphs. citeseer only exists as
+# the citgnn +50%-edges robustness variant, still real power-law
+# structure). Features/labels are structure-derived (no feature files
+# exist offline), so accuracy is NOT comparable to readme tables — the
+# parity harness records these as "real-structure" without a verdict.
+_STRUCT_ADJ = {
+    "cora": "/root/reference/examples/gcil/dataset/cora/0.01_1_1.npz",
+    "citeseer": ("/root/reference/examples/citgnn/datasets/"
+                 "citeseer_add_0.5.npz"),
+    "pubmed": "/root/reference/examples/gcil/dataset/pubmed/0.01_1_1.npz",
+}
+_STRUCT_CLASSES = {"cora": 7, "citeseer": 6, "pubmed": 3}
+
+
+def _load_real_structure(name):
+    """Graph on a REAL in-tree Planetoid adjacency with structure-derived
+    node data (labels = spectral clusters, features = smoothed noise;
+    `structure_node_data`). Synthetic SBM graphs measurably flatter the
+    implementation (PERF_NOTES: partition balance 2.00x inflation vs
+    1.04x on real topology), so real structure is the default fallback;
+    set GGL_SYNTHETIC=1 to force the old SBM graphs. The derived arrays
+    are cached under data/<name>/struct_cache_*.npz (the pubmed eigsh
+    costs seconds per process)."""
+    if os.environ.get("GGL_SYNTHETIC") or name not in _STRUCT_ADJ:
+        return None
+    adj = _STRUCT_ADJ[name]
+    if not osp.exists(adj):
+        return None
+    from gammagl_tpu.data import Graph
+    c = _STRUCT_CLASSES[name]
+    f = (_REAL_DIMS[name][1]
+         if os.environ.get("GGL_REAL_SHAPES") else 128)
+    ei, n = load_sparse_npz(adj)
+    cache = osp.join("data", name, f"struct_cache_f{f}.npz")
+    try:
+        d = np.load(cache)
+        x, y = d["x"], d["y"]
+        tm, vm, sm = d["train_mask"], d["val_mask"], d["test_mask"]
+    except Exception:
+        x, y, tm, vm, sm = structure_node_data(ei, n, num_classes=c,
+                                               feat_dim=f)
+        try:
+            os.makedirs(osp.dirname(cache), exist_ok=True)
+            np.savez(cache, x=x, y=y, train_mask=tm, val_mask=vm,
+                     test_mask=sm)
+        except OSError:
+            pass
+    g = Graph(x=x, edge_index=ei)
+    g.y = y.astype(np.int64)
+    g.train_mask, g.val_mask, g.test_mask = tm, vm, sm
+    g.data_kind = "real-structure"
+    return g
 
 
 # true (num_nodes, feat_dim, num_classes) per dataset, for GGL_REAL_SHAPES

@@ -51,6 +51,7 @@ heads are 8-64 dims; the fallback keeps the API total).
 """
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -241,6 +242,104 @@ def _flash_forward(s_src_pad, a_dst, msg, plan, slope, interpret,
     out, m, l = _flash_forward_mh(s_src_pad, a_dst, msg, plan, slope,
                                   interpret, keep_pad)
     return out[0], m, l
+
+
+# Round-5 A/B result (PERF_NOTES "flash kernel round 5"): the
+# GLOBAL-BOUND kernel below measured 220-225M e/s at the GAT protocol
+# vs the online-softmax kernel's 231M — the dense-exp work it removes
+# is NOT the bottleneck (the per-tile score-operand DMA and the msg
+# streaming are), so the online kernel stays the default. Set
+# GGL_FLASH_GB=1 to enable the global-bound form for A/B runs.
+_USE_GB = os.environ.get("GGL_FLASH_GB", "") == "1"
+
+
+def _flash_kernel_gb(tb_ref, tf_ref, tl_ref, ts_ref, lr_ref, ssrc_ref,
+                     ab_ref, *rest, R, ET, slope, f32_msg, has_mask,
+                     tid=1):
+    """Global-bound formulation (round 5, replaces the online softmax).
+
+    Softmax is invariant to any per-row shift, and the GAT score
+    leaky(s_src + a_dst[r]) is MONOTONE in s_src, so
+        m_bound[r] = leaky(max_e s_src + a_dst[r]) >= score(r, e)  for
+    every edge of row r — a valid stabilization shift computable from
+    ONE scalar (the global s_src max) without any per-row max pass.
+    Consequences vs `_flash_kernel`:
+      * no running max, no rescale of l/acc across tiles;
+      * exp moves from the dense (R, ET) grid to the (1, ET) lanes
+        (ET transcendentals/tile instead of R*ET);
+      * the remaining dense work is one one-hot build, one broadcast
+        multiply, one reduce, and the same MXU matmul as the plain
+        segment-matmul SpMM — the flash kernel's overhead over SpMM
+        becomes the lane exp.
+    Numerics: identical softmax up to fp rounding. exp(s - bound)
+    underflows only when a row's best score sits > ~80 below the bound
+    (f32 exp range), i.e. score SPREADS beyond anything a trained
+    attention layer produces; the reference's own max-shift softmax has
+    the same f32 range.
+    The per-lane a_dst / m_bound values are fetched with one exact
+    hi/lo one-hot MXU pick (M=2; `ab_ref` carries rows [a_dst; bound]).
+    m_out is written as the bound so the UNCHANGED backward kernel
+    (which clamps s - m to <= 0, a no-op for a true bound) recomputes
+    the identical alpha.
+    """
+    if has_mask:
+        (mask_ref, msg_ref, out_ref, m_out_ref, l_out_ref,
+         l_ref, acc_ref) = rest
+    else:
+        (msg_ref, out_ref, m_out_ref, l_out_ref, l_ref, acc_ref) = rest
+    t = pl.program_id(tid)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0) == lr_ref[0])
+
+    @pl.when(tf_ref[t] == 1)
+    def _():
+        l_ref[:] = jnp.zeros((R, 1), jnp.float32)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Dense (R, ET) scores with the bound as a per-row COLUMN — the
+    # A/B (profiler/flash_kernel_tune.py, round 5) measured this form
+    # fastest: lane-exp via M=2 one-hot picks loses ~2M e/s to the pick
+    # matmuls, and transposed/packed-column layouts lose 10-20M to
+    # Mosaic relayouts (PERF_NOTES round-5 entry).
+    a_col = ab_ref[0, 0:1, :].reshape(R, 1)
+    mb_col = ab_ref[0, 1:2, :].reshape(R, 1)
+    s = ssrc_ref[0] + a_col                           # (R, ET)
+    s = jnp.where(s >= 0, s, slope * s)
+    # invalid lanes carry neighbor-window scores; exp of them is finite
+    # garbage the sel select drops.
+    q = jnp.exp(s - mb_col)
+    # post-softmax alpha dropout: the denominator keeps the FULL softmax
+    # mass (mask scales alpha after normalization), so l sums the
+    # unmasked q and only the accumulator sees the mask.
+    q_m = q * mask_ref[0] if has_mask else q
+    msg = msg_ref[:]
+    if f32_msg:
+        w = jnp.where(sel, q, 0.0)
+        l_ref[:] = l_ref[:] + jnp.sum(w, axis=1, keepdims=True)
+        wa = jnp.where(sel, q_m, 0.0) if has_mask else w
+        # bf16x3: exact-split w and msg, drop only the lo*lo term
+        w_hi_f = wa.astype(jnp.bfloat16).astype(jnp.float32)
+        w_lo = (wa - w_hi_f).astype(jnp.bfloat16)
+        w_hi = w_hi_f.astype(jnp.bfloat16)
+        m_hi = msg.astype(jnp.bfloat16)
+        m_lo = (msg - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        upd = (jnp.dot(w_hi, m_hi, preferred_element_type=jnp.float32)
+               + jnp.dot(w_hi, m_lo, preferred_element_type=jnp.float32)
+               + jnp.dot(w_lo, m_hi, preferred_element_type=jnp.float32))
+    else:
+        w = jnp.where(sel, q, 0.0).astype(jnp.bfloat16)
+        l_ref[:] = l_ref[:] + jnp.sum(w, axis=1, keepdims=True,
+                                      dtype=jnp.float32)
+        wa = (jnp.where(sel, q_m, 0.0).astype(jnp.bfloat16)
+              if has_mask else w)
+        upd = jnp.dot(wa, msg, preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] + upd
+
+    @pl.when(tl_ref[t] == 1)
+    def _():
+        out_ref[:] = (acc_ref[:] /
+                      jnp.maximum(l_ref[:], 1e-16)).astype(out_ref.dtype)
+        m_out_ref[:] = ab_ref[:, 1:2, :]
+        l_out_ref[:] = l_ref[:].reshape(1, 1, R)
 
 
 def _flash_bwd_kernel(tb_ref, tf_ref, tl_ref, ts_ref, wf_ref, lr_ref,
@@ -465,7 +564,7 @@ flash_edge_attention.defvjp(_fwd, _bwd)
 
 
 def _flash_forward_mh(s_src_pad, a_dst, msg, plan, slope, interpret,
-                      keep_pad=None):
+                      keep_pad=None, smax=None):
     """Multi-head forward: ONE pallas_call with the head on the grid.
 
     s_src_pad (n_lanes, H) / a_dst (N, H) / msg (n_lanes, H, F) /
@@ -504,14 +603,32 @@ def _flash_forward_mh(s_src_pad, a_dst, msg, plan, slope, interpret,
     local_row = jnp.asarray(plan.local_row.reshape(T, 1, ET))
     if flat or H == 1:
         ssrc = s_src_pad.astype(jnp.float32).reshape(Gt, 1, ET)
-        a_full = jnp.zeros((nb * R,), jnp.float32).at[
-            :a_dst.shape[0]].set(a_dst.astype(jnp.float32).reshape(-1)
-                                 ).reshape(nb, 1, R)
+        a2 = jnp.zeros((1, nb * R), jnp.float32).at[
+            0, :a_dst.shape[0]].set(a_dst.astype(jnp.float32).reshape(-1))
     else:
         ssrc = s_src_pad.astype(jnp.float32).T.reshape(H * Gt, 1, ET)
-        a_full = jnp.zeros((H, nb * R), jnp.float32).at[
-            :, :a_dst.shape[0]].set(a_dst.astype(jnp.float32).T
-                                    ).reshape(H * nb, 1, R)
+        a2 = jnp.zeros((H, nb * R), jnp.float32).at[
+            :, :a_dst.shape[0]].set(a_dst.astype(jnp.float32).T)
+    if _USE_GB:
+        # per-row stabilization bound from the global per-head s_src max
+        # (leaky is monotone; see _flash_kernel_gb). Callers that know a
+        # cheaper upper bound (e.g. the N-sized node-score max, computed
+        # concurrently with the gather) pass it via `smax`; any value
+        # >= the true max keeps the bound valid.
+        if smax is None:
+            smax = jnp.max(ssrc.reshape(H, -1), axis=1)        # (H,)
+        else:
+            smax = jnp.broadcast_to(
+                jnp.asarray(smax, jnp.float32).reshape(-1), (H,))
+        x = smax[:, None] + a2
+        mb = jnp.where(x >= 0, x, slope * x)
+        a_full = jnp.stack(
+            [a2.reshape(H, nb, R), mb.reshape(H, nb, R)],
+            axis=2).reshape(H * nb, 2, R)
+        a_rows = 2
+    else:
+        a_full = a2.reshape(H * nb, 1, R)
+        a_rows = 1
 
     has_mask = keep_pad is not None
     mask_in, mask_spec = (), ()
@@ -526,8 +643,13 @@ def _flash_forward_mh(s_src_pad, a_dst, msg, plan, slope, interpret,
             lambda h, f, t, tb, tf, tl, ts: (h * T + t, 0, 0)),)
 
     kern = functools.partial(
-        _flash_kernel, R=R, ET=ET, slope=slope,
-        f32_msg=msg.dtype == jnp.float32, has_mask=has_mask, tid=2)
+        _flash_kernel_gb if _USE_GB else _flash_kernel, R=R, ET=ET,
+        slope=slope, f32_msg=msg.dtype == jnp.float32, has_mask=has_mask,
+        tid=2)
+    scratch = [pltpu.VMEM((R, 1), jnp.float32),
+               pltpu.VMEM((R, FT), jnp.float32)]
+    if not _USE_GB:
+        scratch.insert(0, pltpu.VMEM((R, 1), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(H, nf, T),
@@ -537,7 +659,7 @@ def _flash_forward_mh(s_src_pad, a_dst, msg, plan, slope, interpret,
             pl.BlockSpec((1, 1, ET),
                          lambda h, f, t, tb, tf, tl, ts:
                          (h * Gt + ts[t], 0, 0)),
-            pl.BlockSpec((1, 1, R),
+            pl.BlockSpec((1, a_rows, R),
                          lambda h, f, t, tb, tf, tl, ts:
                          (h * nb + tb[t], 0, 0)),
             *mask_spec,
@@ -556,11 +678,7 @@ def _flash_forward_mh(s_src_pad, a_dst, msg, plan, slope, interpret,
                          lambda h, f, t, tb, tf, tl, ts:
                          (h * nb + tb[t], 0, 0)),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((R, 1), jnp.float32),
-            pltpu.VMEM((R, 1), jnp.float32),
-            pltpu.VMEM((R, FT), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     out, m, l = pl.pallas_call(
         kern,

@@ -193,6 +193,15 @@ def _build_window_plan(src_s, dst_s, order, block_edges, nblocks,
     gather; a lane is valid iff its global (sorted) edge index falls in
     block b's range [be[b], be[b+1])."""
     be = block_edges.astype(np.int64)
+    if E == 0:
+        # Empty relation (hetero graphs routinely carry these): every lane
+        # is invalid, but the layout machinery below fancy-indexes
+        # src_s/dst_s/order with clamped indices — swap in 1-element
+        # dummies so that indexing is defined. `valid` is all-False, so
+        # the dummy values never escape the np.where fallbacks.
+        src_s = np.zeros(1, dtype=np.int64)
+        dst_s = np.zeros(1, dtype=np.int64)
+        order = np.zeros(1, dtype=np.int64)
     A = be[:-1] // ET                       # first window per block
     endw = -(-be[1:] // ET)                 # one-past-last window
     wt = np.maximum(1, endw - A)            # tiles per block (>=1)
@@ -223,7 +232,7 @@ def _build_window_plan(src_s, dst_s, order, block_edges, nblocks,
     # tile can point one window past ceil(E/ET) when ET divides E)
     G = (int(tile_src.max()) + 1 if T else 1) * ET
     gsrc = np.zeros(G, dtype=np.int32)
-    gsrc[:E] = src_s
+    gsrc[:E] = src_s[:E]
     return CSRPlan(
         src_pad=src_pad, perm=perm, local_row=local_row,
         row_global=row_global, tile_block=tile_block,
@@ -995,10 +1004,14 @@ def build_csr_plan_blocked(src, dst, num_nodes, num_src=None, R=256,
         sel = np.nonzero(owner == b)[0]
         sub = build_csr_plan(src[sel], dst[sel], num_nodes, num_src,
                              R=R, ET=ET, window=window)
-        # remap perm from block-local to original edge ids (pads stay OOB)
-        perm = np.where(sub.perm < len(sel),
-                        sel[np.minimum(sub.perm, len(sel) - 1)], E
-                        ).astype(np.int32)
+        # remap perm from block-local to original edge ids (pads stay OOB;
+        # an empty bucket has only pads, all of which map to E)
+        if len(sel):
+            perm = np.where(sub.perm < len(sel),
+                            sel[np.minimum(sub.perm, len(sel) - 1)], E
+                            ).astype(np.int32)
+        else:
+            perm = np.full_like(sub.perm, E, dtype=np.int32)
         sub.perm = perm
         sub.num_edges = E
         blocks.append(sub)

@@ -177,20 +177,27 @@ def _masked_ce_chunked(logits, y, m, CH=131_072):
 
 
 def _masked_ce_fwd(logits, y, m, CH):
-    return _masked_ce_chunked(logits, y, m, CH), (logits, y, m)
+    out = _masked_ce_chunked(logits, y, m, CH)
+    return out, (logits, y, m, out)
 
 
 def _masked_ce_bwd(CH, res, g):
-    logits, y, m = res
+    logits, y, m, out = res
     n, C = logits.shape
     nch = -(-n // CH)
     pad = nch * CH - n
     lg_p = jnp.pad(logits, ((0, pad), (0, 0))) if pad else logits
     y_p = jnp.pad(y, (0, pad)) if pad else y
     m_p = jnp.pad(m, (0, pad)) if pad else m
-    scale = g / jnp.maximum(m.sum(), 1.0)
+    msum = m.sum()
+    scale = g / jnp.maximum(msum, 1.0)
+    # dL/dm_i = (ls_i - L) / Σm: the per-row loss enters the weighted
+    # mean directly; -L/Σm comes from the normalizer (zero when the
+    # max(Σm, 1) clamp is active, i.e. Σm < 1 — then only ls_i remains).
+    sub = jnp.where(msum >= 1.0, out, 0.0)
 
-    def body(i, dl):
+    def body(i, carry):
+        dl, dm = carry
         lg = jax.lax.dynamic_slice(
             lg_p, (i * CH, 0), (CH, C)).astype(jnp.float32)
         yy = jax.lax.dynamic_slice(y_p, (i * CH,), (CH,))
@@ -198,12 +205,17 @@ def _masked_ce_bwd(CH, res, g):
         p = jax.nn.softmax(lg, axis=-1)
         oh = jax.nn.one_hot(yy, C, dtype=jnp.float32)
         d = (p - oh) * (mm * scale)[:, None]
-        return jax.lax.dynamic_update_slice(
-            dl, d.astype(dl.dtype), (i * CH, 0))
+        ls = optax.softmax_cross_entropy_with_integer_labels(lg, yy)
+        dmi = (ls - sub) * scale
+        return (jax.lax.dynamic_update_slice(
+                    dl, d.astype(dl.dtype), (i * CH, 0)),
+                jax.lax.dynamic_update_slice(
+                    dm, dmi.astype(dm.dtype), (i * CH,)))
 
-    dl = jax.lax.fori_loop(
-        0, nch, body, jnp.zeros((nch * CH, C), logits.dtype))[:n]
-    return dl, None, jnp.zeros_like(m)
+    dl, dm = jax.lax.fori_loop(
+        0, nch, body, (jnp.zeros((nch * CH, C), logits.dtype),
+                       jnp.zeros((nch * CH,), m.dtype)))
+    return dl[:n], None, dm[:n]
 
 
 _masked_ce_chunked.defvjp(_masked_ce_fwd, _masked_ce_bwd)
@@ -282,7 +294,12 @@ def make_partitioned_gcn_train(mesh, part, feat_dim,
     def train_step(p, opt_state, x, y, mask):
         return _train_step(p, opt_state, x, y, mask, spmm_consts)
 
-    _eval = jax.jit(forward)
+    # eval always hands back f32 logits regardless of device count: the
+    # single-device forward stays compute_dtype internally (the chunked
+    # loss casts per chunk), but external consumers of eval_logits get
+    # the same dtype contract as the multi-device path.
+    _eval = jax.jit(
+        lambda p, x, cd: forward(p, x, cd).astype(jnp.float32))
 
     def eval_logits(p, x):
         return _eval(p, x, spmm_consts)
@@ -425,7 +442,8 @@ def make_partitioned_gcn_train_staged(mesh, part, feat_dim, hidden_dim,
         for i in range(num_layers):
             h = fwd_layer(p[f"w{i}"], p[f"b{i}"], h,
                           i < num_layers - 1, spmm_consts)
-        return h
+        # same f32 contract as the monolithic builder's eval path
+        return h.astype(jnp.float32)
 
     return params, opt_state, train_step, eval_logits
 

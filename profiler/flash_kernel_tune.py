@@ -1,14 +1,24 @@
 """A/B of flash fwd kernel formulations at the bench GAT protocol
 (arxiv-scale, F=64 bf16, window plan, compact gather).
 
-  v1: dense (R, ET) exp (round-3 kernel)
-  v2: lane exp + one-hot MXU picks (M=1 matmuls)
-  v3: lane exp + VPU masked-colsum picks
+  v1: online softmax, dense (R, ET) exp (round-3/4 production kernel)
+  v4: GLOBAL-BOUND softmax, lane exp + M=2 hi/lo one-hot MXU pick of
+      [a_dst; m_bound] (round-5 candidate)
+  v5: GLOBAL-BOUND softmax, dense exp (no online max/rescale, no pick)
+  v6: floor — no softmax at all (one-hot matmul + l sum, i.e. the
+      segment-matmul SpMM shape at this protocol)
 
-Run: python profiler/flash_kernel_tune.py
+Round-4 history (v2: lane exp + M=1 picks, v3: VPU masked-colsum picks)
+measured 197-207M e/s vs v1's 223-233M — M=1 pick matmuls and the extra
+selects cost more than the dense exp they saved (PERF_NOTES). Those
+variants were removed; this file now A/Bs the global-bound family, which
+removes the ONLINE machinery entirely (softmax is shift-invariant and
+leaky is monotone, so leaky(global smax + a_dst[r]) bounds every score
+of row r — no running max needed).
+
+Run: python profiler/flash_kernel_tune.py [ET]
 """
 
-import functools
 import sys
 import time
 import os.path as osp
@@ -23,8 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gammagl_tpu.ops.pallas import build_csr_plan, plan_gather_src_compact
 from gammagl_tpu.ops.pallas.flash_attention import (_lane_layout,
-                                                    _pick_rows, _tile_last,
-                                                    _NEG)
+                                                    _tile_last, _NEG)
 
 K = 16
 
@@ -50,9 +59,9 @@ def chain_time(step, x0, reps=3):
 
 
 def make_kernel(variant, R, ET, slope):
-    def kernel(tb_ref, tf_ref, tl_ref, ts_ref, lr_ref, ssrc_ref, adst_ref,
-               msg_ref, out_ref, m_out_ref, l_out_ref, m_ref, l_ref,
-               acc_ref):
+    def kernel(tb_ref, tf_ref, tl_ref, ts_ref, lr_ref, adst_ref,
+               ssrc_ref, msg_ref, out_ref, m_out_ref, l_out_ref, m_ref,
+               l_ref, acc_ref):
         t = pl.program_id(1)
         lanes = lr_ref[0]
         sel = (jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0) == lanes)
@@ -71,40 +80,70 @@ def make_kernel(variant, R, ET, slope):
             m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
             scale = jnp.exp(jnp.minimum(m_old - m_new, 0.0))
             p = jnp.where(sel, jnp.exp(s - m_new), 0.0)
-            l_ref[:] = l_ref[:] * scale + jnp.sum(p, axis=1, keepdims=True)
+            l_ref[:] = (l_ref[:] * scale
+                        + jnp.sum(p, axis=1, keepdims=True))
             upd = jnp.dot(p.astype(jnp.bfloat16), msg_ref[:],
                           preferred_element_type=jnp.float32)
-        else:
-            valid = lanes < R
-            sel_bf = jnp.where(sel, 1.0, 0.0).astype(jnp.bfloat16)
-            if variant == 2:
-                a_e = _pick_rows(adst_ref[0, 0].reshape(R, 1), sel_bf)
-            else:
-                a_e = jnp.sum(
-                    jnp.where(sel, adst_ref[0, 0].reshape(R, 1), 0.0),
-                    axis=0, keepdims=True)
-            s_pre = ssrc_ref[0] + a_e
-            s = jnp.where(s_pre >= 0, s_pre, slope * s_pre)
-            sd = jnp.where(sel, s, _NEG)
-            m_old = m_ref[:]
-            m_new = jnp.maximum(m_old, jnp.max(sd, axis=1, keepdims=True))
-            scale = jnp.exp(jnp.minimum(m_old - m_new, 0.0))
-            if variant == 2:
-                m_pick = _pick_rows(m_new, sel_bf)
-            else:
-                m_pick = jnp.sum(jnp.where(sel, m_new, 0.0), axis=0,
-                                 keepdims=True)
-            p = jnp.where(valid, jnp.exp(jnp.minimum(s - m_pick, 30.0)),
-                          0.0)
-            p_bf = p.astype(jnp.bfloat16)
-            P = sel_bf * p_bf
-            upd = jnp.dot(P, msg_ref[:],
+            acc_ref[:] = acc_ref[:] * scale + upd
+            m_ref[:] = m_new
+        elif variant == 4:
+            sel_bf = sel.astype(jnp.bfloat16)
+            ab = adst_ref[0]                       # (2, R)
+            ab_hi = ab.astype(jnp.bfloat16)
+            ab_lo = (ab - ab_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dn = (((1,), (0,)), ((), ()))
+            lanes2 = (jax.lax.dot_general(
+                          ab_hi, sel_bf, dn,
                           preferred_element_type=jnp.float32)
-            l_ref[:] = l_ref[:] * scale + jnp.dot(
-                P, jnp.ones((ET, 1), jnp.bfloat16),
-                preferred_element_type=jnp.float32)
-        acc_ref[:] = acc_ref[:] * scale + upd
-        m_ref[:] = m_new
+                      + jax.lax.dot_general(
+                          ab_lo, sel_bf, dn,
+                          preferred_element_type=jnp.float32))
+            s = ssrc_ref[0] + lanes2[0:1]
+            s = jnp.where(s >= 0, s, slope * s)
+            q = jnp.exp(s - lanes2[1:2])
+            w = sel_bf * q.astype(jnp.bfloat16)
+            l_ref[:] = l_ref[:] + jnp.sum(w, axis=1, keepdims=True,
+                                          dtype=jnp.float32)
+            acc_ref[:] = acc_ref[:] + jnp.dot(
+                w, msg_ref[:], preferred_element_type=jnp.float32)
+        elif variant == 5:
+            s = ssrc_ref[0] + adst_ref[0, 0].reshape(R, 1)
+            s = jnp.where(s >= 0, s, slope * s)
+            p = jnp.exp(s - adst_ref[0, 1].reshape(R, 1))
+            w = jnp.where(sel, p, 0.0).astype(jnp.bfloat16)
+            l_ref[:] = l_ref[:] + jnp.sum(w, axis=1, keepdims=True,
+                                          dtype=jnp.float32)
+            acc_ref[:] = acc_ref[:] + jnp.dot(
+                w, msg_ref[:], preferred_element_type=jnp.float32)
+        elif variant == 6:                        # no-softmax floor
+            w = sel.astype(jnp.bfloat16)
+            l_ref[:] = l_ref[:] + jnp.sum(w, axis=1, keepdims=True,
+                                          dtype=jnp.float32)
+            acc_ref[:] = acc_ref[:] + jnp.dot(
+                w, msg_ref[:], preferred_element_type=jnp.float32)
+        elif variant == 7:                        # matmul only
+            w = sel.astype(jnp.bfloat16)
+            acc_ref[:] = acc_ref[:] + jnp.dot(
+                w, msg_ref[:], preferred_element_type=jnp.float32)
+        elif variant == 11:                       # no sel build at all
+            w = jnp.ones((R, ET), jnp.bfloat16)
+            l_ref[:] = l_ref[:] + jnp.sum(w, axis=1, keepdims=True,
+                                          dtype=jnp.float32)
+            acc_ref[:] = acc_ref[:] + jnp.dot(
+                w, msg_ref[:], preferred_element_type=jnp.float32)
+        elif variant == 12:                       # sel as bool select only
+            w = jnp.where(sel, jnp.bfloat16(1), jnp.bfloat16(0))
+            l_ref[:] = l_ref[:] + jnp.sum(w, axis=1, keepdims=True,
+                                          dtype=jnp.float32)
+            acc_ref[:] = acc_ref[:] + jnp.dot(
+                w, msg_ref[:], preferred_element_type=jnp.float32)
+        else:                                     # 8: no matmul
+            w = sel.astype(jnp.bfloat16)
+            l_ref[:] = l_ref[:] + jnp.sum(w, axis=1, keepdims=True,
+                                          dtype=jnp.float32)
+            acc_ref[:] = acc_ref[:] + jnp.sum(
+                msg_ref[:].astype(jnp.float32), axis=0,
+                keepdims=True) * 0 + l_ref[:] * 0
 
         @pl.when(tl_ref[t] == 1)
         def _():
@@ -116,7 +155,7 @@ def make_kernel(variant, R, ET, slope):
     return kernel
 
 
-def launch(variant, ssrc, a_full, msg, plan, ts_np, Gt, slope=0.2):
+def launch(variant, ssrc, ab_full, msg, plan, ts_np, Gt, slope=0.2):
     R, ET, T, nb = plan.R, plan.ET, plan.T, plan.nblocks
     F = msg.shape[1]
     kern = make_kernel(variant, R, ET, slope)
@@ -126,10 +165,10 @@ def launch(variant, ssrc, a_full, msg, plan, ts_np, Gt, slope=0.2):
         in_specs=[
             pl.BlockSpec((1, 1, ET),
                          lambda f, t, tb, tf, tl, ts: (t, 0, 0)),
+            pl.BlockSpec((1, 2, R),
+                         lambda f, t, tb, tf, tl, ts: (tb[t], 0, 0)),
             pl.BlockSpec((1, 1, ET),
                          lambda f, t, tb, tf, tl, ts: (ts[t], 0, 0)),
-            pl.BlockSpec((1, 1, R),
-                         lambda f, t, tb, tf, tl, ts: (tb[t], 0, 0)),
             pl.BlockSpec((ET, F),
                          lambda f, t, tb, tf, tl, ts: (ts[t], 0)),
         ],
@@ -156,37 +195,45 @@ def launch(variant, ssrc, a_full, msg, plan, ts_np, Gt, slope=0.2):
         ],
     )(jnp.asarray(plan.tile_block), jnp.asarray(plan.tile_first),
       jnp.asarray(_tile_last(plan)), jnp.asarray(ts_np),
-      jnp.asarray(plan.local_row.reshape(T, 1, ET)), ssrc, a_full, msg)
+      jnp.asarray(plan.local_row.reshape(T, 1, ET)), ab_full, ssrc, msg)
     return out
 
 
 def main():
+    ET = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     N, E, F = 169_343, 2_315_598, 64
     rng = np.random.default_rng(2)
     dst = (N * (rng.random(E) ** 1.5)).astype(np.int64)
     src = rng.integers(0, N, E)
-    plan = build_csr_plan(src, dst, N, R=128, ET=512, window=True)
+    plan = build_csr_plan(src, dst, N, R=128, ET=ET, window=True)
     x0 = jnp.asarray(rng.normal(size=(N, F)), jnp.bfloat16)
     a_np = rng.normal(size=(N,)).astype(np.float32)
-    nb, R, ET, T = plan.nblocks, plan.R, plan.ET, plan.T
-    a_full = jnp.asarray(
-        np.pad(a_np, (0, nb * R - N)).reshape(nb, 1, R))
+    nb, R, T = plan.nblocks, plan.R, plan.T
+    a_pad = np.pad(a_np, (0, nb * R - N))
     ts_np, _, Gt = _lane_layout(plan, plan.gather_len)
 
     results = {}
-    for variant in (1, 2, 3):
+    for variant in (6, 7, 8, 11):
         def step(x, variant=variant):
             packed = jnp.concatenate(
                 [x, jnp.sum(x.astype(jnp.float32), 1, keepdims=True
                             ).astype(x.dtype)], axis=1)
             g = plan_gather_src_compact(packed, plan)
-            ssrc = g[:, F].astype(jnp.float32).reshape(Gt, 1, ET)
-            out = launch(variant, ssrc, a_full, g[:, :F], plan, ts_np, Gt)
+            ssrc_flat = g[:, F].astype(jnp.float32)
+            smax = jnp.max(ssrc_flat)
+            xm = smax + jnp.asarray(a_pad)
+            mb = jnp.where(xm >= 0, xm, 0.2 * xm)
+            ab = jnp.stack(
+                [jnp.asarray(a_pad).reshape(nb, R),
+                 mb.reshape(nb, R)], axis=1)        # (nb, 2, R)
+            ssrc = ssrc_flat.reshape(Gt, 1, ET)
+            out = launch(variant, ssrc, ab, g[:, :F], plan, ts_np, Gt)
             return out[:N].astype(x.dtype)
         t = chain_time(step, x0)
         results[variant] = t
-        print(f"v{variant}: {t*1e3:7.2f} ms  {E/t/1e6:7.1f} M e/s")
-    # also measure the raw compact gather alone for the budget
+        print(f"v{variant}: {t*1e3:7.2f} ms  {E/t/1e6:7.1f} M e/s",
+              flush=True)
+    # raw compact gather alone for the budget
     def gstep(x):
         packed = jnp.concatenate(
             [x, jnp.sum(x.astype(jnp.float32), 1, keepdims=True
@@ -195,7 +242,8 @@ def main():
         g = jax.lax.optimization_barrier(g)
         return x + jnp.sum(g[:1].astype(jnp.float32)).astype(x.dtype) * 0
     t = chain_time(gstep, x0)
-    print(f"gather only: {t*1e3:7.2f} ms")
+    print(f"gather only: {t*1e3:7.2f} ms ({plan.gather_len/t/1e6:.0f} "
+          "Mrows/s)")
 
 
 if __name__ == "__main__":

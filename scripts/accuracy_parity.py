@@ -492,7 +492,22 @@ _REAL_STRUCTURE_FILES = {
 
 def _real_structure(model, ds):
     f = _REAL_STRUCTURE_FILES.get((model, ds))
-    return f is not None and osp.exists(f)
+    if f is not None and osp.exists(f):
+        return f
+    # round 5: examples/common.load_node_dataset now falls back to the
+    # reference's in-tree REAL Planetoid adjacencies for cora/citeseer/
+    # pubmed (examples/common.py _STRUCT_ADJ), so EVERY homogeneous
+    # trainer that went through the shared loader trains on real
+    # power-law topology. The loader marks the cached graph.
+    try:
+        import common
+    except ImportError:
+        sys.path.insert(0, osp.join(ROOT, "examples"))
+        import common
+    for (name, _), (g, _) in getattr(common, "_DS_CACHE", {}).items():
+        if name == ds and getattr(g, "data_kind", "") == "real-structure":
+            return common._STRUCT_ADJ.get(ds, "examples/common.py")
+    return None
 
 
 def main():
@@ -543,7 +558,8 @@ def main():
                 continue
             mean = statistics.mean(accs)
             std = statistics.pstdev(accs) if len(accs) > 1 else 0.0
-            real_struct = not real and _real_structure(model, ds)
+            struct_file = None if real else _real_structure(model, ds)
+            real_struct = struct_file is not None
             kind = ("real" if real else
                     "real-structure" if real_struct else "synthetic")
             entry = {
@@ -560,8 +576,7 @@ def main():
                 entry["within_0.3"] = abs(mean - tgt[0]) <= 0.3
             elif real_struct:
                 entry["note"] = ("REAL adjacency structure (reference "
-                                 "in-tree npz: "
-                                 f"{_REAL_STRUCTURE_FILES[(model, ds)]}) "
+                                 f"in-tree npz: {struct_file}) "
                                  "with structure-derived features/labels "
                                  "— no accuracy verdict vs the readme "
                                  "table, which needs Planetoid "

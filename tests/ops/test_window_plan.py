@@ -106,6 +106,28 @@ def test_window_blocked_plan():
                                rtol=1e-4, atol=1e-3)
 
 
+def test_window_empty_relation():
+    # E == 0 (hetero graphs routinely carry empty relations; blocked
+    # plans can carry empty src buckets): the plan must build, every
+    # lane must be invalid, and the reduce must return zeros.
+    for window in (True, False):
+        plan = build_csr_plan([], [], 10, window=window)
+        assert plan.num_edges == 0 and not plan.valid.any()
+        x = jnp.ones((10, 128), jnp.float32)
+        out = spmm_csr(x, jnp.zeros((0,), jnp.float32), plan)
+        np.testing.assert_allclose(np.asarray(out), np.zeros((10, 128)))
+    # blocked builder: all edges in one src bucket leaves others empty
+    src = np.zeros(4, np.int64)
+    dst = np.arange(4, dtype=np.int64)
+    plan = build_csr_plan_blocked(src, dst, 300, R=16, ET=32,
+                                  num_src_blocks=3, window=True)
+    x = jnp.ones((300, 128), jnp.float32)
+    out = spmm_csr(x, jnp.ones(4, jnp.float32), plan)
+    ref = np.zeros((300, 128))
+    ref[:4] = 1.0
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+
+
 def test_window_empty_and_tiny():
     # blocks with zero edges still initialize their output rows
     src = np.array([0, 1])

@@ -86,3 +86,30 @@ def test_masked_ce_chunked_exact(n, CH):
     g2 = jax.grad(ref)(lg)
     np.testing.assert_array_equal(np.asarray(g1, np.float32),
                                   np.asarray(g2, np.float32))
+
+
+@pytest.mark.parametrize("n,CH", [(1000, 256), (64, 64)])
+def test_masked_ce_chunked_mask_grad(n, CH):
+    # the custom VJP must carry the REAL mask cotangent (per-row loss
+    # enters the weighted mean; the normalizer subtracts the mean loss),
+    # not silently return zeros — callers may weight rows with floats
+    rng = np.random.default_rng(1)
+    C = 11
+    lg = jnp.asarray(rng.normal(size=(n, C)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, C, n))
+    m = jnp.asarray(rng.random(n).astype(np.float32)) + 0.1
+
+    def ref(mm):
+        ls = optax.softmax_cross_entropy_with_integer_labels(lg, y)
+        return (ls * mm).sum() / jnp.maximum(mm.sum(), 1.0)
+
+    gm1 = jax.grad(lambda mm: _masked_ce_chunked(lg, y, mm, CH))(m)
+    gm2 = jax.grad(ref)(m)
+    np.testing.assert_allclose(np.asarray(gm1), np.asarray(gm2),
+                               rtol=1e-5, atol=1e-7)
+    # sub-unit mask sum: the max(Σm, 1) clamp kills the normalizer term
+    msmall = m * 1e-3
+    gm3 = jax.grad(lambda mm: _masked_ce_chunked(lg, y, mm, CH))(msmall)
+    gm4 = jax.grad(ref)(msmall)
+    np.testing.assert_allclose(np.asarray(gm3), np.asarray(gm4),
+                               rtol=1e-5, atol=1e-7)
