@@ -185,6 +185,28 @@ class HGTConv(nn.Module):
                                                     plan_gather_src,
                                                     plan_gather_src_compact)
                 compact = getattr(plan, "tile_src", None) is not None
+                # round-5 fast path: the fully fused packed kernel (one
+                # half-packed 2-column-group gather, q.k scores on the
+                # MXU in-kernel, fused bwd) — 1.8x the decomposed-gather
+                # train step at the bench protocol (hgt_roofline.py).
+                # Dropout still needs the materialized-alpha path.
+                use_packed = (compact and k.dtype == jnp.bfloat16
+                              and (H * D) % 128 == 0
+                              and (128 % D == 0 or D % 128 == 0)
+                              and (self.dropout_rate == 0 or not train))
+                if use_packed:
+                    from gammagl_tpu.ops.pallas import hgt_flash_packed
+                    kv = jnp.concatenate(
+                        [k.reshape(-1, H * D), v.reshape(-1, H * D)],
+                        axis=1)
+                    scale = (rel_pri.astype(jnp.float32) / (D ** 0.5))
+                    q_scaled = (q_dict[dst_t].astype(jnp.float32)
+                                * scale[None, :, None]
+                                ).astype(jnp.bfloat16)
+                    out = hgt_flash_packed(kv, q_scaled, plan
+                                           ).reshape(-1, H, D)
+                    out_lists[dst_t].append(out.reshape(-1, H * D))
+                    continue
                 packed = jnp.concatenate(
                     [k.reshape(-1, H * D), v.reshape(-1, H * D)], axis=1)
                 if compact:

@@ -31,7 +31,12 @@ from gammagl_tpu.ops.pallas.flash_attention import (  # noqa: F401
     flash_edge_attention_mh,
     flash_softmax_spmm,
     flash_softmax_spmm_mh,
+)
+from gammagl_tpu.ops.pallas.flash_attention import (  # noqa: F401
     attention_keep_mask,
+)
+from gammagl_tpu.ops.pallas.hetero_flash import (  # noqa: F401
+    hgt_flash_packed,
 )
 from gammagl_tpu.ops.pallas.attention import (  # noqa: F401
     plan_gather_src,
@@ -55,6 +60,7 @@ __all__ = ["CSRPlan", "BlockedCSRPlan", "build_csr_plan",
            "segment_softmax_padded", "bspmm_csr",
            "flash_edge_attention", "flash_softmax_spmm",
            "flash_edge_attention_mh", "flash_softmax_spmm_mh",
+           "hgt_flash_packed",
            "attention_keep_mask", "BlockPairPlan",
            "build_block_pair_plan", "spmm_block_pair",
            "sddmm_csr", "sddmm_csr_mh", "expand_dst_csr",

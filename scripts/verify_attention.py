@@ -106,4 +106,57 @@ err = float(jnp.abs(logits - logits_ref).max())
 print(f"HGT plan_dict: loss {hfirst:.4f} -> {float(hloss):.4f}, "
       f"plan-vs-xla max err {err:.2e}")
 assert float(hloss) < hfirst and err < 1e-2
+
+# --- HGT PACKED path (round 5): bf16, D=64 -> the fused packed kernel
+# (hgt_flash_packed) engages; must match the decomposed XLA path on
+# hardware within bf16 tolerance, and its gradients must train.
+from gammagl_tpu.layers.conv import HGTConv
+import flax.linen as _nn
+
+
+class _PackedHGT(_nn.Module):
+    @_nn.compact
+    def __call__(self, x_dict, ei_dict, train=False, plan_dict=None):
+        h = {nt: _nn.Dense(256, name=f"proj__{nt}")(x)
+             for nt, x in x_dict.items()}
+        out = HGTConv(out_channels=256, metadata=meta, heads=4,
+                      dropout_rate=0.0, dtype=jnp.bfloat16,
+                      name="conv")(h, ei_dict, train=train,
+                                   plan_dict=plan_dict)
+        h = {**h, **out}
+        return _nn.Dense(2, name="head")(h["paper"].astype(jnp.float32))
+
+
+hmodel_p = _PackedHGT()
+hp = hmodel_p.init({"params": jax.random.PRNGKey(1)}, hx, ei_dict)
+opt_p = optax.adam(5e-3)
+st_p = opt_p.init(hp)
+
+@jax.jit
+def pstep(params, st):
+    def loss_fn(p):
+        logits = hmodel_p.apply(p, hx, ei_dict, train=True,
+                                plan_dict=plans)
+        ls = optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), jnp.asarray(y))
+        return jnp.where(tm, ls, 0).sum() / tm.sum()
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    up, st = opt_p.update(grads, st)
+    return optax.apply_updates(params, up), st, loss
+
+# packed vs decomposed parity at INIT (training to convergence
+# saturates the logits and amplifies benign bf16 attention deltas
+# through the trained weights)
+lg_p = hmodel_p.apply(hp, hx, ei_dict, plan_dict=plans)
+lg_r = hmodel_p.apply(hp, hx, ei_dict)
+perr = float(jnp.abs(lg_p.astype(jnp.float32)
+                     - lg_r.astype(jnp.float32)).max())
+pfirst = None
+for i in range(60):
+    hp, st_p, ploss = pstep(hp, st_p)
+    if pfirst is None:
+        pfirst = float(ploss)
+print(f"HGT PACKED bf16: loss {pfirst:.4f} -> {float(ploss):.4f}, "
+      f"packed-vs-xla max err (init) {perr:.2e}")
+assert float(ploss) < pfirst and perr < 5e-2
 print("ATTENTION DRILL OK")
