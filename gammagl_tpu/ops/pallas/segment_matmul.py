@@ -896,7 +896,7 @@ def segment_sum_win(v, w_pad, plan, interpret=False):
 
 def segment_matmul_dyn_packed(g_packed, w2d, local_row, tile_block,
                               tile_first, *, R, ET, nblocks,
-                              interpret=False):
+                              interpret=False, out_acc=None):
     """Packed-gather segment matmul with TRACED layout operands (the
     `segment_matmul_dyn` analog of `_spmm_packed_forward`) — for the
     shard_map halo tiers, whose per-device plans arrive as sliced jnp
@@ -905,6 +905,13 @@ def segment_matmul_dyn_packed(g_packed, w2d, local_row, tile_block,
     natural column order. NOT differentiable — callers must provide
     their own backward (the planned halo tiers run dx = A^T g via the
     transpose partition, bypassing autodiff here).
+
+    ``out_acc``: optional (nblocks*R, F) bf16 accumulator the kernel
+    FOLDS IN on each block's first tile — the src-blocked halo tiers
+    chain per-block partial sums this way inside the kernel (2 HBM
+    passes per block: read prev + write out) instead of materializing
+    every partial and adding outside (4 passes: store + read,read,write
+    — measured 9.05 -> 9.9 M e/s on the papers100M 3.6M-node shard).
     """
     interpret = interpret or jax.default_backend() != "tpu"
     T = int(tile_block.shape[0])
@@ -913,8 +920,13 @@ def segment_matmul_dyn_packed(g_packed, w2d, local_row, tile_block,
     F = 2 * F2
     local_row = local_row.reshape(T, 1, ET)
     w2d = w2d.reshape(T, 1, ET)
+    accumulate = out_acc is not None
 
-    def kernel(tb_ref, tf_ref, lr_ref, w_ref, g_ref, out_ref):
+    def kernel(tb_ref, tf_ref, lr_ref, w_ref, g_ref, *refs):
+        if accumulate:
+            prev_ref, out_ref = refs
+        else:
+            (out_ref,) = refs
         t = pl.program_id(0)
         sel = (jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0)
                == lr_ref[0])
@@ -928,12 +940,19 @@ def segment_matmul_dyn_packed(g_packed, w2d, local_row, tile_block,
 
         @pl.when(tf_ref[t] == 1)
         def _():
-            out_ref[:] = acc.astype(out_ref.dtype)
+            if accumulate:
+                out_ref[:] = prev_ref[:] + acc.astype(out_ref.dtype)
+            else:
+                out_ref[:] = acc.astype(out_ref.dtype)
 
         @pl.when(tf_ref[t] == 0)
         def _():
             out_ref[:] = out_ref[:] + acc.astype(out_ref.dtype)
 
+    acc_in, acc_spec = (), ()
+    if accumulate:
+        acc_in = (out_acc,)
+        acc_spec = (pl.BlockSpec((R, F), lambda t, tb, tf: (tb[t], 0)),)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -941,6 +960,7 @@ def segment_matmul_dyn_packed(g_packed, w2d, local_row, tile_block,
             pl.BlockSpec((1, 1, ET), lambda t, tb, tf: (t, 0, 0)),
             pl.BlockSpec((1, 1, ET), lambda t, tb, tf: (t, 0, 0)),
             pl.BlockSpec((ET, F2), lambda t, tb, tf: (t, 0)),
+            *acc_spec,
         ],
         out_specs=pl.BlockSpec((R, F), lambda t, tb, tf: (tb[t], 0)),
     )
@@ -949,11 +969,12 @@ def segment_matmul_dyn_packed(g_packed, w2d, local_row, tile_block,
         out_shape=jax.ShapeDtypeStruct((nblocks * R, F), jnp.bfloat16),
         cost_estimate=pl.CostEstimate(
             flops=2 * R * ET * F * T,
-            bytes_accessed=E_pad * F2 * 4 + nblocks * R * F * 2,
+            bytes_accessed=E_pad * F2 * 4
+            + nblocks * R * F * 2 * (2 if accumulate else 1),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(tile_block, tile_first, local_row, w2d, g_packed)
+    )(tile_block, tile_first, local_row, w2d, g_packed, *acc_in)
     return out  # [left | right] IS natural order under pack_halves
 
 

@@ -484,20 +484,30 @@ def _planned_spmm_callable(mesh, part, axis, kernel, interpret,
         return segment_sum(msg * w.reshape(-1, 1).astype(msg.dtype),
                            rows, nblocks * R + 1)[:rows_per]
 
-    def _gather_agg(tbl, src, w, lr, tb, tf):
+    def _packed_ok(tbl):
+        return (allow_packed and _PACKED_HALO and kernel
+                and tbl.dtype == jnp.bfloat16
+                and tbl.shape[-1] % 256 == 0
+                and tbl.shape[-1] // 2 <= 1024)
+
+    def _gather_agg_packed(tbl, src, w, lr, tb, tf, out_acc):
         # packed gather (bf16 features via the f32 bitcast view): halves
         # the gather engine's lane groups — the dominant cost of the
         # interior aggregation at papers100M scale (segment_matmul.py
         # _packed_kernel; +23% whole-SpMM on chip). Non-differentiable:
         # enabled only when the transpose partition provides dx.
-        if (allow_packed and _PACKED_HALO and kernel
-                and tbl.dtype == jnp.bfloat16
-                and tbl.shape[-1] % 256 == 0
-                and tbl.shape[-1] // 2 <= 1024):
-            g = jnp.take(pack_halves(tbl), src, axis=0, mode="clip")
-            return segment_matmul_dyn_packed(
-                g, w.astype(jnp.float32), lr, tb, tf, R=R, ET=ET,
-                nblocks=nblocks, interpret=interpret)[:rows_per]
+        # Returns the FULL (nblocks*R, F) buffer; the src-blocked chain
+        # folds the previous block's partial in-kernel (out_acc) instead
+        # of materializing every partial and adding outside.
+        g = jnp.take(pack_halves(tbl), src, axis=0, mode="clip")
+        return segment_matmul_dyn_packed(
+            g, w.astype(jnp.float32), lr, tb, tf, R=R, ET=ET,
+            nblocks=nblocks, interpret=interpret, out_acc=out_acc)
+
+    def _gather_agg(tbl, src, w, lr, tb, tf):
+        if _packed_ok(tbl):
+            return _gather_agg_packed(tbl, src, w, lr, tb, tf,
+                                      None)[:rows_per]
         msg = jnp.take(tbl, src, axis=0, mode="clip")
         return _agg(msg, w, lr, tb, tf)
 
@@ -525,6 +535,34 @@ def _planned_spmm_callable(mesh, part, axis, kernel, interpret,
         spans = part.src_spans or tuple(
             (b * rows_blk, min((b + 1) * rows_blk, rows_per))
             for b in range(nb))
+        bd_src, bd_w, bd_lr, bd_tb, bd_tf = rest[5 * nb:]
+        table = recv.reshape(nparts * H, -1)
+        if _packed_ok(x_blk):
+            # src-blocked chain with IN-KERNEL partial folding: each
+            # block's kernel reads the previous full-size partial and
+            # writes the running sum (2 HBM passes/block instead of the
+            # store + outside-add 4) — measured +9% epoch rate on the
+            # papers100M 3.6M-node shard. The boundary aggregation folds
+            # in the same way, removing the last outside add too.
+            out_full = None
+            x_dep = x_blk
+            for b in range(nb):
+                src, w, lr, tb, tf = rest[5 * b:5 * b + 5]
+                x_b = jax.lax.slice_in_dim(
+                    x_dep, spans[b][0], spans[b][1]) if nb > 1 else x_dep
+                out_full = _gather_agg_packed(x_b, src[0], w[0], lr[0],
+                                              tb[0], tf[0], out_full)
+                if nb > 1 and b < nb - 1:
+                    out_full, x_dep = jax.lax.optimization_barrier(
+                        (out_full, x_blk))
+            if _packed_ok(table):
+                out_full = _gather_agg_packed(
+                    table, bd_src[0], bd_w[0], bd_lr[0], bd_tb[0],
+                    bd_tf[0], out_full)
+                return out_full[:rows_per]
+            return (out_full[:rows_per]
+                    + _gather_agg(table, bd_src[0], bd_w[0], bd_lr[0],
+                                  bd_tb[0], bd_tf[0]))
         out = None
         x_dep = x_blk
         for b in range(nb):
@@ -535,8 +573,6 @@ def _planned_spmm_callable(mesh, part, axis, kernel, interpret,
             out = part_sum if out is None else out + part_sum
             if nb > 1 and b < nb - 1:
                 out, x_dep = jax.lax.optimization_barrier((out, x_blk))
-        bd_src, bd_w, bd_lr, bd_tb, bd_tf = rest[5 * nb:]
-        table = recv.reshape(nparts * H, -1)
         return out + _gather_agg(table, bd_src[0], bd_w[0], bd_lr[0],
                                  bd_tb[0], bd_tf[0])
 

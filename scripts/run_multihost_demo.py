@@ -23,7 +23,7 @@ import sys
 ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-DEVICES_PER_PROC = 2
+DEVICES_PER_PROC = 4
 
 
 def worker(pid, nproc, port, steps=12):
@@ -134,6 +134,79 @@ def worker(pid, nproc, port, steps=12):
         if valid > 0:
             ref[:valid] = want[lo:lo + valid]
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+    # full-graph PARTITIONED TRAINING tier across processes (VERDICT r4
+    # task 8): the halo all_to_all + kernel aggregation + gradient
+    # psum all cross the process boundary, with loss/parameter parity
+    # against a single-device reference computed locally (every rank
+    # holds the same seeded graph, so the reference is deterministic).
+    import time as _time
+    from gammagl_tpu.parallel import make_partitioned_gcn_train
+    from gammagl_tpu.utils import calc_gcn_norm_np
+
+    ei_sl = np.concatenate(
+        [ei, np.tile(np.arange(n, dtype=np.int64), (2, 1))], axis=1)
+    w_norm = calc_gcn_norm_np(ei_sl, n)
+    part_t = build_halo_partition(ei_sl, n, ndev, w_norm, balance=False)
+    total = ndev * part_t.rows_per
+    f2, h2, c2 = g.x.shape[1], 16, int(np.asarray(g.y).max()) + 1
+    x_pad = np.zeros((total, f2), np.float32)
+    x_pad[:n] = np.asarray(g.x)
+    y_pad = np.zeros((total,), np.int64)
+    y_pad[:n] = np.asarray(g.y)
+    m_pad = np.zeros((total,), np.float32)
+    m_pad[:n] = 1.0
+    rows_per_host = total // nproc
+    sl = slice(pid * rows_per_host, (pid + 1) * rows_per_host)
+    sh = NamedSharding(mesh, P("dp"))
+    xs2 = jax.make_array_from_process_local_data(sh, x_pad[sl])
+    ys2 = jax.make_array_from_process_local_data(sh, y_pad[sl])
+    ms2 = jax.make_array_from_process_local_data(sh, m_pad[sl])
+    params, opt_state, pstep, _ = make_partitioned_gcn_train(
+        mesh, part_t, f2, h2, c2, num_layers=2,
+        compute_dtype=jnp.float32, learning_rate=1e-2, seed=7)
+
+    # single-device reference: identical math on the full graph
+    import optax as _optax
+    from gammagl_tpu.ops import spmm as _spmm
+    p_ref = jax.tree_util.tree_map(np.asarray, params)
+    p_ref = {k: jnp.asarray(v) for k, v in p_ref.items()}
+    opt_ref = _optax.adamw(1e-2, weight_decay=0.0)
+    st_ref = opt_ref.init(p_ref)
+    ei_j = jnp.asarray(ei_sl.astype(np.int32))
+    w_j = jnp.asarray(w_norm.astype(np.float32))
+    xf = jnp.asarray(x_pad[:n])
+    yf = jnp.asarray(y_pad[:n])
+    mf = jnp.asarray(m_pad[:n])
+
+    @jax.jit
+    def ref_step(p, st):
+        def loss_fn(p):
+            h = _spmm(ei_j, w_j, xf, num_nodes=n) @ p["w0"] + p["b0"]
+            h = jax.nn.relu(h)
+            lg = _spmm(ei_j, w_j, h, num_nodes=n) @ p["w1"] + p["b1"]
+            ls = _optax.softmax_cross_entropy_with_integer_labels(lg, yf)
+            return (ls * mf).sum() / mf.sum()
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        up, st = opt_ref.update(grads, st, p)
+        return _optax.apply_updates(p, up), st, loss
+
+    losses_p, losses_r = [], []
+    t0 = _time.perf_counter()
+    for _ in range(5):
+        params, opt_state, lp = pstep(params, opt_state, xs2, ys2, ms2)
+        p_ref, st_ref, lr_ = ref_step(p_ref, st_ref)
+        losses_p.append(float(lp))
+        losses_r.append(float(lr_))
+    dt = (_time.perf_counter() - t0) / 5
+    np.testing.assert_allclose(losses_p, losses_r, rtol=2e-4, atol=2e-4)
+    for k in p_ref:
+        np.testing.assert_allclose(
+            np.asarray(params[k]), np.asarray(p_ref[k]),
+            rtol=2e-3, atol=2e-3)
+    eps = ei_sl.shape[1] / dt / nproc
+    print(f"[rank {pid}] partitioned-tier parity OK "
+          f"(loss {losses_p[0]:.4f}->{losses_p[-1]:.4f}, "
+          f"{eps:.2e} edges/s/process)", flush=True)
     print(f"[rank {pid}] OK (train + cross-process halo exchange)",
           flush=True)
 
