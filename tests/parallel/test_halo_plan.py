@@ -362,6 +362,42 @@ def test_planned_packed_gather_path_matches(monkeypatch):
                                refg, rtol=5e-2, atol=2.0)
 
 
+def test_planned_packed_srcblocked_fold_matches(monkeypatch):
+    """num_src_blocks > 1 on the packed path engages the round-5
+    IN-KERNEL partial folding (segment_matmul_dyn_packed out_acc): each
+    block's kernel folds the previous block's full-size partial, and
+    the boundary aggregation folds last — the chain must match the
+    dense reference in value and gradient exactly like the outside-add
+    formulation it replaced."""
+    import gammagl_tpu.parallel.halo_plan as hp
+    monkeypatch.setattr(hp, "_PACKED_HALO", True)
+    n, ndev = 96, 4
+    rng = np.random.default_rng(23)
+    ei = np.stack([rng.integers(0, n, 900), rng.integers(0, n, 900)])
+    w = rng.normal(size=900).astype(np.float32)
+    x = rng.normal(size=(n, 256)).astype(np.float32)
+    mesh = _mesh(ndev)
+    part = build_halo_partition_planned(ei, n, ndev, w, R=8, ET=128,
+                                        num_src_blocks=3)
+    xs = jax.device_put(jnp.asarray(pad_nodes(x, part), jnp.bfloat16),
+                        NamedSharding(mesh, P("dp")))
+    spmm = make_halo_spmm_planned(mesh, part, kernel=True)
+    out = jax.jit(spmm)(xs)
+    ref = _dense_ref(ei, w, np.asarray(jnp.asarray(x, jnp.bfloat16),
+                                       np.float64), n)
+    np.testing.assert_allclose(
+        unpad_nodes(out, part).astype(np.float64), ref, rtol=2e-2,
+        atol=2e-1)
+    g = jax.jit(jax.grad(
+        lambda v: jnp.sum(spmm(v).astype(jnp.float32) ** 2)))(xs)
+    a = np.zeros((n, n), np.float64)
+    np.add.at(a, (ei[1], ei[0]), w)
+    xd = np.asarray(jnp.asarray(x, jnp.bfloat16), np.float64)
+    refg = 2 * a.T @ (a @ xd)
+    np.testing.assert_allclose(unpad_nodes(g, part).astype(np.float64),
+                               refg, rtol=5e-2, atol=2.0)
+
+
 def test_hier_planned_packed_gather_matches(monkeypatch):
     import gammagl_tpu.parallel.halo_plan as hp
     monkeypatch.setattr(hp, "_PACKED_HALO", True)
