@@ -40,7 +40,6 @@ def _load_node_dataset_uncached(name, path="data"):
         try:
             from gammagl_tpu.data.download import network_available
             from gammagl_tpu.datasets import Planetoid
-            import os
             have_raw = osp.exists(osp.join(path, name, "raw"))
             if not (have_raw or network_available()):
                 raise OSError("no network (fast probe) and no raw files")
