@@ -59,11 +59,43 @@ def _unpack_pair(gp):
     return _unpack_tile(gp)
 
 
-def _fwd_kernel(tb_ref, tf_ref, tl_ref, ts_ref, lr_ref, gp_ref, q_ref,
-                out_ref, m_out_ref, l_out_ref, m_s, l_s, acc, *, R, ET,
-                H, D):
+def _gather_parts(F, D):
+    """How many column parts to split the packed (N, F)-f32 k|v gather
+    into. Default 1 — the round-5 column-split experiment is a MEASURED
+    NEGATIVE (PERF_NOTES "HGT gather split"): at the bench footprint a
+    102 MB half-table of 512 B rows gathers at only 190 Mrows/s (95
+    effective for the split full row) vs 141 monolithic, and the full
+    train step regressed 25.5 -> 22.5 M e/s. (The probe that suggested
+    +29% was invalid: its serialization chain left the second half
+    loop-invariant, so XLA hoisted that gather out of the timing loop.)
+    Blocking the TABLE under the 100 MB cliff is likewise negative at
+    this row width (profiler/hgt_blocked_probe.py: best +13% at B=3,
+    worse elsewhere). The machinery stays (tested at ngp=2/4 in
+    tests/ops/test_hetero_flash.py) for re-probing on future hardware:
+    set GGL_HGT_GATHER_PARTS to force a part count; parts must not
+    straddle a head (128 % D == 0)."""
+    import os
+    n = int(os.environ.get("GGL_HGT_GATHER_PARTS", "1"))
+    if n > 1 and F % n == 0 and (F // n) % D == 0:
+        return n
+    return 1
+
+
+def _head_kv(parts, Fp, h, D):
+    """(k_h, v_h) lane slices for head h out of the unpacked parts."""
+    i = (h * D) // Fp
+    a = h * D - i * Fp
+    k, v = parts[i]
+    return k[:, a:a + D], v[:, a:a + D]
+
+
+def _fwd_kernel(tb_ref, tf_ref, tl_ref, ts_ref, lr_ref, *rest, R, ET,
+                H, D, ngp):
+    gp_refs = rest[:ngp]
+    q_ref, out_ref, m_out_ref, l_out_ref, m_s, l_s, acc = rest[ngp:]
     t = pl.program_id(0)
     F = H * D
+    Fp = F // ngp
     sel = (jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0) == lr_ref[0])
 
     @pl.when(tf_ref[t] == 1)
@@ -72,11 +104,11 @@ def _fwd_kernel(tb_ref, tf_ref, tl_ref, ts_ref, lr_ref, gp_ref, q_ref,
         l_s[:] = jnp.zeros((R, H), jnp.float32)
         acc[:] = jnp.zeros_like(acc)
 
-    k_all, v_all = _unpack_pair(gp_ref[:])
+    parts = [_unpack_pair(r[:]) for r in gp_refs]
     q = q_ref[:]
     for h in range(H):
         qh = q[:, h * D:(h + 1) * D]
-        kh = k_all[:, h * D:(h + 1) * D]
+        kh, vh = _head_kv(parts, Fp, h, D)
         s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = jnp.where(sel, s, _NEG)
@@ -86,7 +118,7 @@ def _fwd_kernel(tb_ref, tf_ref, tl_ref, ts_ref, lr_ref, gp_ref, q_ref,
         p = jnp.where(sel, jnp.exp(s - m_new), 0.0)
         l_s[:, h:h + 1] = l_s[:, h:h + 1] * scale + jnp.sum(
             p, axis=1, keepdims=True)
-        upd = jnp.dot(p.astype(jnp.bfloat16), v_all[:, h * D:(h + 1) * D],
+        upd = jnp.dot(p.astype(jnp.bfloat16), vh,
                       preferred_element_type=jnp.float32)
         acc[:, h * D:(h + 1) * D] = (acc[:, h * D:(h + 1) * D] * scale
                                      + upd)
@@ -103,12 +135,17 @@ def _fwd_kernel(tb_ref, tf_ref, tl_ref, ts_ref, lr_ref, gp_ref, q_ref,
         l_out_ref[:] = l_s[:].reshape(1, R, H)
 
 
-def _bwd_kernel(tb_ref, tf_ref, tl_ref, ts_ref, wf_ref, lr_ref, gp_ref,
-                q_ref, g_ref, m_ref, l_ref, c_ref, dkv_ref, dq_ref,
-                dq_acc, *, R, ET, H, D):
+def _bwd_kernel(tb_ref, tf_ref, tl_ref, ts_ref, wf_ref, lr_ref, *rest,
+                R, ET, H, D, ngp):
+    gp_refs = rest[:ngp]
+    q_ref, g_ref, m_ref, l_ref, c_ref = rest[ngp:ngp + 5]
+    dkv_refs = rest[ngp + 5:2 * ngp + 5]
+    dq_ref, dq_acc = rest[2 * ngp + 5:]
     t = pl.program_id(0)
+    F = H * D
+    Fp = F // ngp
     sel = (jax.lax.broadcasted_iota(jnp.int32, (R, ET), 0) == lr_ref[0])
-    k_all, v_all = _unpack_pair(gp_ref[:])
+    parts = [_unpack_pair(r[:]) for r in gp_refs]
     q = q_ref[:]
     g = g_ref[:]
     m = m_ref[0]                                   # (R, H)
@@ -122,8 +159,7 @@ def _bwd_kernel(tb_ref, tf_ref, tl_ref, ts_ref, wf_ref, lr_ref, gp_ref,
     pieces = []
     for h in range(H):
         qh = q[:, h * D:(h + 1) * D]
-        kh = k_all[:, h * D:(h + 1) * D]
-        vh = v_all[:, h * D:(h + 1) * D]
+        kh, vh = _head_kv(parts, Fp, h, D)
         gh = g[:, h * D:(h + 1) * D]
         s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -147,31 +183,42 @@ def _bwd_kernel(tb_ref, tf_ref, tl_ref, ts_ref, wf_ref, lr_ref, gp_ref,
     dkv_tile = jnp.concatenate(
         [p[0] for p in pieces] + [p[1] for p in pieces],
         axis=1).astype(jnp.bfloat16)               # (ET, 2F)
+    # emit the cotangent in ngp column parts (2F//ngp bf16 = 128 f32
+    # lanes each when split) so the transpose-plan scatter gathers
+    # 512 B rows — the fast row-rate class (see _gather_parts)
+    W2 = 2 * F // ngp
 
     @pl.when(wf_ref[t] == 1)
     def _():
-        dkv_ref[:] = dkv_tile
+        for i, dr in enumerate(dkv_refs):
+            dr[:] = dkv_tile[:, i * W2:(i + 1) * W2]
 
     @pl.when(wf_ref[t] == 0)
     def _():
-        dkv_ref[:] = dkv_ref[:] + dkv_tile
+        for i, dr in enumerate(dkv_refs):
+            dr[:] = dr[:] + dkv_tile[:, i * W2:(i + 1) * W2]
 
     @pl.when(tl_ref[t] == 1)
     def _():
         dq_ref[:] = dq_acc[:].astype(dq_ref.dtype)
 
 
-def _hetero_fwd(gp, q_flat, plan, H, D, interpret):
+def _hetero_fwd(gps, q_flat, plan, H, D, interpret):
     R, ET, T, nb = plan.R, plan.ET, plan.T, plan.nblocks
     F = H * D
+    ngp = len(gps)
+    Fp = F // ngp
     ts_np, _, Gt = _lane_layout(plan, plan.gather_len)
-    kern = functools.partial(_fwd_kernel, R=R, ET=ET, H=H, D=D)
+    kern = functools.partial(_fwd_kernel, R=R, ET=ET, H=H, D=D, ngp=ngp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, 1, ET), lambda t, tb, tf, tl, ts: (t, 0, 0)),
-            pl.BlockSpec((ET, F), lambda t, tb, tf, tl, ts: (ts[t], 0)),
+        ] + [
+            pl.BlockSpec((ET, Fp), lambda t, tb, tf, tl, ts: (ts[t], 0))
+            for _ in range(ngp)
+        ] + [
             pl.BlockSpec((R, F), lambda t, tb, tf, tl, ts: (tb[t], 0)),
         ],
         out_specs=[
@@ -203,24 +250,30 @@ def _hetero_fwd(gp, q_flat, plan, H, D, interpret):
         interpret=interpret,
     )(jnp.asarray(plan.tile_block), jnp.asarray(plan.tile_first),
       jnp.asarray(_tile_last(plan)), jnp.asarray(ts_np),
-      jnp.asarray(plan.local_row.reshape(T, 1, ET)), gp, q_flat)
+      jnp.asarray(plan.local_row.reshape(T, 1, ET)), *gps, q_flat)
     return out, m, l
 
 
-def _hetero_bwd_kernelcall(gp, q_flat, g_blocks, m, l, c_blocks, plan,
+def _hetero_bwd_kernelcall(gps, q_flat, g_blocks, m, l, c_blocks, plan,
                            H, D, interpret):
     R, ET, T, nb = plan.R, plan.ET, plan.T, plan.nblocks
     F = H * D
+    ngp = len(gps)
+    Fp = F // ngp
+    W2 = 2 * F // ngp
     ts_np, wf_np, Gt = _lane_layout(plan, plan.gather_len)
-    kern = functools.partial(_bwd_kernel, R=R, ET=ET, H=H, D=D)
+    kern = functools.partial(_bwd_kernel, R=R, ET=ET, H=H, D=D, ngp=ngp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, 1, ET),
                          lambda t, tb, tf, tl, ts, wf: (t, 0, 0)),
-            pl.BlockSpec((ET, F),
-                         lambda t, tb, tf, tl, ts, wf: (ts[t], 0)),
+        ] + [
+            pl.BlockSpec((ET, Fp),
+                         lambda t, tb, tf, tl, ts, wf: (ts[t], 0))
+            for _ in range(ngp)
+        ] + [
             pl.BlockSpec((R, F),
                          lambda t, tb, tf, tl, ts, wf: (tb[t], 0)),
             pl.BlockSpec((R, F),
@@ -233,17 +286,21 @@ def _hetero_bwd_kernelcall(gp, q_flat, g_blocks, m, l, c_blocks, plan,
                          lambda t, tb, tf, tl, ts, wf: (tb[t], 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((ET, 2 * F),
-                         lambda t, tb, tf, tl, ts, wf: (ts[t], 0)),
+            pl.BlockSpec((ET, W2),
+                         lambda t, tb, tf, tl, ts, wf: (ts[t], 0))
+            for _ in range(ngp)
+        ] + [
             pl.BlockSpec((R, F),
                          lambda t, tb, tf, tl, ts, wf: (tb[t], 0)),
         ],
         scratch_shapes=[pltpu.VMEM((R, F), jnp.float32)],
     )
-    dkv_lanes, dq = pl.pallas_call(
+    outs = pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((plan.gather_len, 2 * F), jnp.bfloat16),
+            jax.ShapeDtypeStruct((plan.gather_len, W2), jnp.bfloat16)
+            for _ in range(ngp)
+        ] + [
             jax.ShapeDtypeStruct((nb * R, F), jnp.bfloat16),
         ],
         cost_estimate=pl.CostEstimate(
@@ -257,8 +314,8 @@ def _hetero_bwd_kernelcall(gp, q_flat, g_blocks, m, l, c_blocks, plan,
       jnp.asarray(_tile_last(plan)), jnp.asarray(ts_np),
       jnp.asarray(wf_np),
       jnp.asarray(plan.local_row.reshape(T, 1, ET)),
-      gp, q_flat, g_blocks, m, l, c_blocks)
-    return dkv_lanes, dq
+      *gps, q_flat, g_blocks, m, l, c_blocks)
+    return tuple(outs[:ngp]), outs[ngp]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -287,10 +344,15 @@ def _fwd_impl(kv, q_scaled, plan, interpret):
     # forces kv to materialize first — the concat producing kv
     # materializes anyway, so this costs nothing.
     kv = jax.lax.optimization_barrier(kv)
-    gp = jnp.take(pack_halves(kv), jnp.asarray(plan.gsrc), axis=0)
+    p = pack_halves(kv)                            # (N_src, F) f32
+    gsrc = jnp.asarray(plan.gsrc)
+    ngp = _gather_parts(H * D, D)  # 1 unless forced — see docstring
+    Fp = (H * D) // ngp
+    gps = tuple(jnp.take(p[:, i * Fp:(i + 1) * Fp], gsrc, axis=0)
+                for i in range(ngp))
     q_flat = _pad_dst(q_scaled.reshape(N_dst, H * D), plan)
-    out, m, l = _hetero_fwd(gp, q_flat, plan, H, D, interpret)
-    return out, (gp, q_flat, m, l)
+    out, m, l = _hetero_fwd(gps, q_flat, plan, H, D, interpret)
+    return out, (gps, q_flat, m, l)
 
 
 def _fwd_vjp(kv, q_scaled, plan, interpret):
@@ -301,7 +363,7 @@ def _fwd_vjp(kv, q_scaled, plan, interpret):
 
 def _bwd_vjp(plan, interpret, saved, g):
     interpret = interpret or jax.default_backend() != "tpu"
-    (gp, q_flat, m, l), out, n_src, q_shape = saved
+    (gps, q_flat, m, l), out, n_src, q_shape = saved
     N_dst, H, D = q_shape
     F = H * D
     nbR = plan.nblocks * plan.R
@@ -310,14 +372,17 @@ def _bwd_vjp(plan, interpret, saved, g):
     # c_row[h] = <out_row_h, g_row_h> — one streaming rowdot per head
     c = jnp.sum((out.astype(jnp.float32) * g_pad).reshape(nbR, H, D),
                 axis=2).reshape(plan.nblocks, plan.R, H)
-    dkv_lanes, dq = _hetero_bwd_kernelcall(
-        gp, q_flat, g_pad.astype(jnp.bfloat16), m, l, c, plan, H, D,
+    dkv_parts, dq = _hetero_bwd_kernelcall(
+        gps, q_flat, g_pad.astype(jnp.bfloat16), m, l, c, plan, H, D,
         interpret)
-    # scatter the per-lane k|v cotangents back to source rows: a
-    # transpose-plan SpMM whose gather rides the SAME half-packed view
-    # (dkv_lanes is bf16 with 2F % 256 == 0)
+    # scatter the per-lane k|v cotangents back to source rows: one
+    # transpose-plan SpMM PER column part, so each gather rides the
+    # fast 512 B row class (the parts are the bwd kernel's separate
+    # outputs — no slicing copies); concat restores [dk | dv]
     tp = _compact_transpose_plan(plan, n_src)
-    dkv = spmm_csr(dkv_lanes, None, tp, interpret=interpret)[:n_src]
+    scat = [spmm_csr(part, None, tp, interpret=interpret)[:n_src]
+            for part in dkv_parts]
+    dkv = scat[0] if len(scat) == 1 else jnp.concatenate(scat, axis=1)
     dq_out = dq[:N_dst].reshape(N_dst, H, D)
     return dkv.astype(jnp.bfloat16), dq_out.astype(jnp.bfloat16)
 

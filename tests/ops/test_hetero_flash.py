@@ -104,3 +104,67 @@ def test_single_head_and_h4():
         ref = _ref(kv, q, src, dst, plan.num_nodes, H, D)
         np.testing.assert_allclose(np.asarray(out, np.float32), ref,
                                    rtol=0.15, atol=0.15)
+
+
+def test_split_gather_parts(monkeypatch):
+    """The GGL_HGT_GATHER_PARTS column-split layout (kept for future
+    re-probing; production default is 1 part — see _gather_parts) stays
+    numerically exact at ngp=2 and 4, plus the D-does-not-divide
+    fallback."""
+    monkeypatch.setenv("GGL_HGT_GATHER_PARTS", "2")
+    for H, D, seed in [(4, 64, 5), (8, 32, 6), (1, 256, 7)]:
+        kv, q, src, dst, plan = _case(seed=seed, H=H, D=D, e=800)
+        out = hgt_flash_packed(kv, q, plan)
+        ref = _ref(kv, q, src, dst, plan.num_nodes, H, D)
+        np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                                   rtol=0.15, atol=0.15)
+    monkeypatch.setenv("GGL_HGT_GATHER_PARTS", "4")
+    kv, q, src, dst, plan = _case(seed=10, H=8, D=32, e=800)
+    out = hgt_flash_packed(kv, q, plan)
+    ref = _ref(kv, q, src, dst, plan.num_nodes, 8, 32)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               rtol=0.15, atol=0.15)
+
+
+def test_gradients_split_path(monkeypatch):
+    """Gradients through the ngp=2 split-gather layout (H=4, D=64 —
+    the bench/HGTConv shape) against the same decomposed reference as
+    test_gradients_match_reference."""
+    monkeypatch.setenv("GGL_HGT_GATHER_PARTS", "2")
+    H, D = 4, 64
+    kv, q, src, dst, plan = _case(seed=8, H=H, D=D)
+    n_dst = plan.num_nodes
+    rng = np.random.default_rng(9)
+    gout = jnp.asarray(rng.normal(size=(n_dst, H * D)), jnp.bfloat16)
+
+    def loss(kv, q):
+        return jnp.sum(hgt_flash_packed(kv, q, plan).astype(jnp.float32)
+                       * gout.astype(jnp.float32))
+
+    dkv, dq = jax.grad(loss, argnums=(0, 1))(kv, q)
+
+    def loss_ref(kv, q):
+        from gammagl_tpu.ops import segment_softmax, spmm
+        F = H * D
+        k = kv.astype(jnp.float32)[:, :F].reshape(-1, H, D)
+        v = kv.astype(jnp.float32)[:, F:].reshape(-1, H, D)
+        qf = q.astype(jnp.float32)
+        sj = jnp.asarray(src)
+        dj = jnp.asarray(dst)
+        s = jnp.einsum("ehd,ehd->eh", qf[dj], k[sj])
+        tot = 0.0
+        for h in range(H):
+            alpha = segment_softmax(s[:, h], dj, num_segments=n_dst)
+            ei = jnp.stack([sj, dj])
+            outh = spmm(ei, alpha, v[:, h], num_nodes=n_dst)
+            tot = tot + jnp.sum(
+                outh * gout.astype(jnp.float32).reshape(n_dst, H, D)[:, h])
+        return tot
+
+    dkv_r, dq_r = jax.grad(loss_ref, argnums=(0, 1))(kv, q)
+    np.testing.assert_allclose(
+        np.asarray(dkv, np.float32), np.asarray(dkv_r, np.float32),
+        rtol=0.3, atol=0.3)
+    np.testing.assert_allclose(
+        np.asarray(dq, np.float32), np.asarray(dq_r, np.float32),
+        rtol=0.3, atol=0.3)
